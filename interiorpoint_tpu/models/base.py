@@ -1,0 +1,229 @@
+"""Shared driver machinery for the barrier-method problem classes.
+
+The reference's LP/QP/SOCP drivers are near-identical 700-line classes
+(reference: LPSolver.py, QPSolver.py, SOCPSolver.py — see SURVEY.md §3.1);
+this base class factors the common intake / x0 synthesis / solve / dual
+recovery / plotting, while subclasses supply the problem pytree, oracles,
+and class-specific validation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.barrier import full_linear_slacks
+from ..ops.ipm import IPMResult, barrier_solve
+from ..utils.config import SolverConfig
+
+
+def default_dtype() -> str:
+    return "float64" if jax.config.jax_enable_x64 else "float32"
+
+
+def synthesize_x0(lb, ub, n, rng=None):
+    """Initial point from bounds (reference: LPSolver.py:131-143)."""
+    if lb is not None and ub is not None:
+        return (np.maximum(lb, -1e2) + np.minimum(ub, 1e2)) / 2 * np.ones(n)
+    if lb is not None:
+        return (np.maximum(lb, -1e2) + 1e-1) * np.ones(n)
+    if ub is not None:
+        return (np.minimum(ub, 1e2) - 1e-1) * np.ones(n)
+    rng = rng or np.random
+    return rng.rand(n)
+
+
+@partial(jax.jit, static_argnames=("cfg", "oracle_fn", "p1_oracle_fn",
+                                   "num_constraints", "eq_gate"))
+def _barrier_core(prob, A, b, x0, t0, cfg, oracle_fn, p1_oracle_fn,
+                  num_constraints, eq_gate) -> IPMResult:
+    """Single jitted entry for a full LP/QP/SOCP solve (phase one + outer
+    barrier loop + Newton + line search).  ``oracle_fn``/``p1_oracle_fn``
+    are static callables building oracles from the problem pytree."""
+    oracle = oracle_fn(prob)
+    p1 = p1_oracle_fn(prob) if p1_oracle_fn is not None else None
+    return barrier_solve(
+        oracle, A, b, x0, cfg,
+        num_constraints=num_constraints, eq_gate=eq_gate, t0=t0,
+        p1_oracle=p1,
+    )
+
+
+class BarrierDriver:
+    """Common API surface mirroring the reference drivers.
+
+    After ``solve()``:
+      value, xstar, optimal, optimality_gap, outer_iters, inner_iters,
+      objective_vals — as in the reference (LPSolver.py:204-217,640-653);
+      lam_star / v_star when ``get_dual_variables=True``
+      (reference: LPSolver.py:641-646).
+    """
+
+    # Subclasses set these in __init__:
+    #   self._prob            problem pytree
+    #   self._eq              (A, b) equality pair or (None, None)
+    #   self._oracle_fn       static oracle builder
+    #   self._p1_oracle_fn    static phase-1 oracle builder or None
+    #   self._eq_gate_default per-class default gate
+    #   self.x (np.ndarray)   initial point
+    #   self.n, self.num_constraints
+
+    def _init_common(self, *, t0, max_outer_iters, max_inner_iters,
+                     phase1_max_inner_iters, epsilon, inner_epsilon,
+                     linear_solve_method, max_cg_iters, alpha, beta, mu,
+                     suppress_print, try_diag, track_loss,
+                     get_dual_variables, phase1_tol, phase1_t0,
+                     update_slacks_every, use_psd_condition=False,
+                     dtype=None, refine_steps=0, eq_gate=None):
+        del update_slacks_every  # unnecessary: exact slacks are free here
+        self._dtype_name = dtype or default_dtype()
+        self.cfg = SolverConfig(
+            t0=float(t0), mu=float(mu), epsilon=float(epsilon),
+            max_outer_iters=int(max_outer_iters),
+            inner_epsilon=float(inner_epsilon),
+            max_inner_iters=int(max_inner_iters),
+            alpha=float(alpha), beta=float(beta),
+            phase1_t0=float(phase1_t0),
+            phase1_max_inner_iters=int(phase1_max_inner_iters),
+            phase1_tol=float(phase1_tol),
+            kkt_strategy=linear_solve_method,
+            max_cg_iters=int(max_cg_iters),
+            use_psd_condition=bool(use_psd_condition),
+            try_diag=bool(try_diag),
+            eq_gate=eq_gate,
+            dtype=self._dtype_name,
+            refine_steps=int(refine_steps),
+        )
+        self.suppress_print = suppress_print
+        self.track_loss = track_loss
+        self.get_dual_variables = get_dual_variables
+
+        self.optimal = False
+        self.value = None
+        self.optimality_gap = None
+        self.xstar = None
+        self.lam_star = None
+        self.v_star = None
+        self.vstar = None
+        self.outer_iters = 0
+        self.inner_iters = []
+        self.objective_vals = []
+        self.feasible = None
+        self.cvxpy_val = None
+        self.cvxpy_sol = None
+
+    # -- hooks -------------------------------------------------------------
+
+    def _check_x0(self, x):
+        raise NotImplementedError
+
+    def _slacks_at(self, x):
+        """Full slack vector for dual recovery."""
+        return full_linear_slacks(self._prob, x)
+
+    # -- solve ---------------------------------------------------------------
+
+    def solve(self, resolve=True, **kwargs):
+        """Run the interior-point solve (reference: LPSolver.py:514-653).
+
+        Parameters: ``resolve`` returns the cached optimum when False;
+        kwargs may override ``t0``, ``x0``, ``max_outer_iters``,
+        ``track_loss``.
+        """
+        if not resolve and self.optimal:
+            return self.value
+
+        t0 = kwargs.get("t0", self.cfg.t0)
+        self.track_loss = kwargs.get("track_loss", self.track_loss)
+        cfg = self.cfg
+        if "max_outer_iters" in kwargs:
+            import dataclasses
+            cfg = dataclasses.replace(
+                cfg, max_outer_iters=int(kwargs["max_outer_iters"]))
+
+        if "x0" in kwargs:
+            x0 = np.asarray(kwargs["x0"], dtype=np.float64)
+            self._check_x0(x0)
+        else:
+            x0 = self.x
+
+        dtype = cfg.jnp_dtype
+        A, b = self._eq
+        eq_gate = cfg.eq_gate if cfg.eq_gate is not None else self._eq_gate_default
+
+        res = _barrier_core(
+            self._prob, A, b,
+            jnp.asarray(x0, dtype=dtype),
+            jnp.asarray(t0, dtype=dtype),
+            cfg, self._oracle_fn, self._p1_oracle_fn,
+            self.num_constraints, float(eq_gate),
+        )
+        res = jax.tree_util.tree_map(np.asarray, res)
+
+        if res.phase1 is not None and np.isfinite(res.phase1.s):
+            # phase one actually ran
+            if not self.suppress_print:
+                print(f"found a feasible point with slack {res.phase1.s}")
+            if res.phase1.s > -self.cfg.phase1_tol:
+                raise ValueError(
+                    "Phase 1 Solver did not successfully find a feasible "
+                    "point!"
+                )
+
+        self._result = res
+        self.outer_iters = int(res.outer_iters)
+        self.inner_iters = [int(k) for k in res.inner_iters[: self.outer_iters]]
+        self.objective_vals = [
+            float(o) for o in res.obj_vals[: self.outer_iters]
+            if np.isfinite(o)
+        ]
+        self.xstar = res.x
+        self.optimal = True
+        self.value = float(res.value)
+        self.optimality_gap = float(res.dual_gap)
+
+        if self.get_dual_variables:
+            if self.num_constraints > 0:
+                slacks = np.asarray(self._slacks_at(jnp.asarray(res.x)))
+                self.lam_star = 1.0 / (float(res.t) * slacks)
+            if res.v is not None:
+                self.v_star = res.v / float(res.t)
+                self.vstar = self.v_star
+
+        return self.value
+
+    def plot(self, subtract_cvxpy=True):
+        """Optimality gap vs cumulative Newton iterations
+        (reference: LPSolver.py:684-705)."""
+        if not (self.optimal and self.track_loss):
+            raise ValueError(
+                "Need to solve problem with track_loss set to True to be "
+                "able to plot convergence!"
+            )
+        import matplotlib.pyplot as plt
+
+        obj_vals = np.asarray(self.objective_vals, dtype=np.float64)
+        baseline = self.cvxpy_val if (subtract_cvxpy and self.cvxpy_val
+                                      is not None) else 0.0
+        ax = plt.subplot()
+        ax.step(
+            np.cumsum(self.inner_iters[-len(obj_vals):]),
+            obj_vals - baseline,
+            where="post",
+        )
+        ax.set_xlabel("Cumulative Newton iterations")
+        ax.set_ylabel("Optimality gap")
+        ax.set_title(f"Convergence of {type(self).__name__}")
+        ax.set_yscale("log")
+        return ax
+
+    def __str__(self):
+        opt_val = "Not yet solved" if self.optimal is False else self.value
+        return f"{type(self).__name__}(Optimal Value: {opt_val})"
+
+    def __repr__(self):
+        return str(self)

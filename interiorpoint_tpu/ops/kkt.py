@@ -1,0 +1,224 @@
+"""KKT linear-solve strategies for the Newton engines.
+
+The reference implements a zoo of 16+ Newton subclasses, one per
+(linear-solve method × diagonal-Hessian × equality-constrained) combination
+(reference: LPSolver.py:371-469, NewtonSolver.py:212-420,
+NewtonSolverInfeasibleStart.py:279-956).  Here the zoo collapses to a single
+``solve_kkt`` entry point with a trace-time strategy string; the equality
+block is handled by the same Schur-complement block elimination the
+reference uses (reference: NewtonSolverInfeasibleStart.py:356-538):
+
+    [[H  Aᵀ] [dx]     [g      ]          H·Y = [Aᵀ | g]
+     [A  0 ]][w ] = − [Ax − b ]   ⇒      S = A·H⁻¹Aᵀ,  S·w = (Ax−b) − A·H⁻¹g
+                                          dx = −H⁻¹(g + Aᵀw)
+
+Failure handling is NaN-propagation-based instead of exception-based: the
+reference catches ``LinAlgError`` from a failed Cholesky and flips to a
+dense-solve backup for the rest of the solve
+(reference: NewtonSolverInfeasibleStart.py:392-538).  Under ``jit`` there
+are no exceptions, so we detect a non-finite Cholesky factor and switch to
+the dense-solve path with ``lax.cond`` — same recovery, no host round trip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _chol(H):
+    return jnp.linalg.cholesky(H)
+
+
+def _chol_ok(L):
+    return jnp.all(jnp.isfinite(L))
+
+
+def _chol_solve(L, B):
+    """Solve (L Lᵀ) X = B via two triangular solves
+    (reference: NewtonSolverInfeasibleStart.py:399-452 does the same with
+    cupyx solve_triangular)."""
+    vec = B.ndim == 1
+    if vec:
+        B = B[:, None]
+    Y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+    X = jax.scipy.linalg.solve_triangular(L.T, Y, lower=False)
+    return X[:, 0] if vec else X
+
+
+def _refine(solve_fn, H, B, X, steps: int):
+    """Iterative refinement: X += M⁻¹(B − H X), recovering accuracy lost in
+    a low-precision factorization.  New capability (no reference analogue);
+    enabled via SolverConfig.refine_steps for float32 TPU runs."""
+    for _ in range(steps):
+        R = B - H @ X
+        X = X + solve_fn(R)
+    return X
+
+
+def add_psd_conditioning(H):
+    """+1e-9 on the diagonal (reference: NewtonSolver.py:269-275)."""
+    return H + 1e-9 * jnp.eye(H.shape[0], dtype=H.dtype)
+
+
+def _solve_posdef(H, B, strategy: str, refine_steps: int = 0):
+    """Solve H X = B where H is (symmetric) positive definite, with the
+    requested strategy.  For 'cholesky', falls back to a dense solve when
+    the factor is non-finite (mirrors reference backup_solve,
+    NewtonSolverInfeasibleStart.py:513-538)."""
+    if strategy == "cholesky":
+        L = _chol(H)
+
+        def chol_path(_):
+            X = _chol_solve(L, B)
+            return _refine(partial(_chol_solve, L), H, B, X, refine_steps)
+
+        def dense_path(_):
+            return jnp.linalg.solve(H, B)
+
+        return lax.cond(_chol_ok(L), chol_path, dense_path, None)
+    if strategy == "solve":
+        return jnp.linalg.solve(H, B)
+    if strategy == "lstsq":
+        return jnp.linalg.lstsq(H, B)[0]
+    if strategy == "inverse":
+        return jnp.linalg.inv(H) @ B
+    raise ValueError(f"unsupported posdef strategy {strategy!r}")
+
+
+def solve_kkt_eq(H, A, g, rpri, strategy: str, *, use_psd_condition=False,
+                 refine_steps: int = 0, diag: bool = False):
+    """Equality-constrained Newton step via block elimination.
+
+    Args:
+      H: (n, n) Hessian, or (n,) diagonal when ``diag=True``.
+      A: (m, n) equality constraint matrix.
+      g: (n,) gradient of the barrier-scaled objective.
+      rpri: (m,) primal residual A x − b.
+      strategy: canonical strategy name (see utils/config.py).
+
+    Returns:
+      (dx, w): Newton step and the *new* dual iterate; the engine computes
+      vstep = w − v (reference: NewtonSolverInfeasibleStart.py:315,509).
+    """
+    if diag:
+        # Diagonal-H variants factor only the Schur complement
+        # (reference: NewtonSolverInfeasibleStart.py:692-809).
+        hinv = 1.0 / H
+        Hinv_AT = hinv[:, None] * A.T
+        Hinv_g = hinv * g
+        S = A @ Hinv_AT
+        rhs = rpri - A @ Hinv_g
+        strat = "cholesky" if strategy in ("cholesky", "diagonal") else strategy
+        w = _solve_posdef(S, rhs, strat, refine_steps)
+        dx = -hinv * (g + A.T @ w)
+        return dx, w
+
+    if use_psd_condition:
+        H = add_psd_conditioning(H)
+
+    if strategy == "full_kkt":
+        # Debug path: assemble the full KKT system
+        # (reference: NewtonSolverKKTNPSolveInfeasibleStart, :663-689).
+        n, m = H.shape[0], A.shape[0]
+        Z = jnp.zeros((m, m), dtype=H.dtype)
+        M = jnp.block([[H, A.T], [A, Z]])
+        rhs = -jnp.concatenate([g, rpri])
+        sol = jnp.linalg.solve(M, rhs)
+        return sol[:n], sol[n:]
+
+    if strategy == "cg":
+        # The reference disables CG for infeasible-start problems
+        # (NewtonSolverInfeasibleStart.py:604 raises NotImplementedError).
+        raise NotImplementedError(
+            "cg is not supported for equality-constrained (infeasible-start) "
+            "solves; matches reference NewtonSolverInfeasibleStart.py:571-660"
+        )
+
+    if strategy == "cholesky":
+        # One factorization of H serves both right-hand sides; then factor
+        # the Schur complement (reference: two factorizations per step,
+        # NewtonSolverInfeasibleStart.py:396-490).
+        L1 = _chol(H)
+        B = jnp.concatenate([A.T, g[:, None]], axis=1)
+
+        def chol_path(_):
+            Y = _chol_solve(L1, B)
+            return _refine(partial(_chol_solve, L1), H, B, Y, refine_steps)
+
+        def dense_path(_):
+            return jnp.linalg.solve(H, B)
+
+        Y = lax.cond(_chol_ok(L1), chol_path, dense_path, None)
+        Hinv_AT, Hinv_g = Y[:, :-1], Y[:, -1]
+        S = A @ Hinv_AT
+        S = 0.5 * (S + S.T)
+        w = _solve_posdef(S, rpri - A @ Hinv_g, "cholesky", refine_steps)
+        dxrhs = g + A.T @ w
+
+        def chol_path2(_):
+            X = _chol_solve(L1, dxrhs)
+            return _refine(partial(_chol_solve, L1), H, dxrhs, X, refine_steps)
+
+        def dense_path2(_):
+            return jnp.linalg.solve(H, dxrhs)
+
+        dx = -lax.cond(_chol_ok(L1), chol_path2, dense_path2, None)
+        return dx, w
+
+    # lstsq / solve / inverse block elimination
+    # (reference: NewtonSolverNPLstSqInfeasibleStart :279-316,
+    #  NewtonSolverNPSolveInfeasibleStart :319-353,
+    #  NewtonSolverDirectInfeasibleStart :541-568).
+    Hinv_AT = _solve_posdef(H, A.T, strategy)
+    Hinv_g = _solve_posdef(H, g, strategy)
+    S = A @ Hinv_AT
+    w = _solve_posdef(S, rpri - A @ Hinv_g, strategy)
+    dx = -_solve_posdef(H, g + A.T @ w, strategy)
+    return dx, w
+
+
+def solve_newton_step(H, g, x, strategy: str, *, use_psd_condition=False,
+                      refine_steps: int = 0, diag: bool = False,
+                      max_cg_iters: int = 50):
+    """Unconstrained Newton step H dx = −g (feasible-start engine;
+    reference: NewtonSolver.py:212-420)."""
+    if diag:
+        # (reference: NewtonSolverDiagonal, NewtonSolver.py:403-420)
+        return -g / H
+    if strategy == "cg":
+        # Warm start heuristic from the reference (NewtonSolver.py:379-383).
+        # Deviation: the reference passes −H to CG (NewtonSolver.py:386-398),
+        # i.e. a negative-definite system, which CG handles poorly; we solve
+        # the equivalent positive-definite system H dx = −g.
+        descent_check = x @ g
+        x0 = jnp.where(
+            descent_check < 0, -descent_check * x / (x @ (H @ x)),
+            jnp.zeros_like(x),
+        )
+        dx, _ = jax.scipy.sparse.linalg.cg(H, -g, x0=x0, maxiter=max_cg_iters)
+        return dx
+    if use_psd_condition:
+        H = add_psd_conditioning(H)
+    if strategy == "full_kkt":
+        raise ValueError(
+            "full_kkt requires equality constraints "
+            "(reference: LPSolver.py:427-430)"
+        )
+    # cholesky backup for the feasible-start engine is lstsq
+    # (reference: NewtonSolver.py:334-341)
+    if strategy == "cholesky":
+        L = _chol(H)
+
+        def chol_path(_):
+            X = _chol_solve(L, -g)
+            return _refine(partial(_chol_solve, L), H, -g, X, refine_steps)
+
+        def lstsq_path(_):
+            return jnp.linalg.lstsq(H, -g)[0]
+
+        return lax.cond(_chol_ok(L), chol_path, lstsq_path, None)
+    return _solve_posdef(H, -g, strategy)
