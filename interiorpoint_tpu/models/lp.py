@@ -170,7 +170,7 @@ def solve_lp(c, A=None, b=None, C=None, d=None, lb=None, ub=None,
     from .base import _barrier_core
 
     if cfg is None:
-        cfg = SolverConfig(dtype=default_dtype(), **cfg_overrides)
+        cfg = SolverConfig(**{"dtype": default_dtype(), **cfg_overrides})
     dt = cfg.jnp_dtype
     prob = make_lp(c, A, b, C, d, lb, ub, dtype=dt)
     n = prob.n
