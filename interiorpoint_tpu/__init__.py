@@ -14,6 +14,7 @@ plus the functional, jit/vmap-composable entry points:
 from .models.lp import LPSolver, solve_lp
 from .models.qp import QPSolver, solve_qp
 from .models.socp import SOCPSolver, solve_socp
+from .models.lasso import LassoSolver, solve_lasso
 from .utils.config import SolverConfig, AdmmConfig
 from .models.problem import (
     LPProblem, QPProblem, SOCPProblem, LassoProblem,
@@ -23,8 +24,8 @@ from .models.problem import (
 __version__ = "0.1.0"
 
 __all__ = [
-    "LPSolver", "QPSolver", "SOCPSolver",
-    "solve_lp", "solve_qp", "solve_socp",
+    "LPSolver", "QPSolver", "SOCPSolver", "LassoSolver",
+    "solve_lp", "solve_qp", "solve_socp", "solve_lasso",
     "SolverConfig", "AdmmConfig",
     "LPProblem", "QPProblem", "SOCPProblem", "LassoProblem",
     "make_lp", "make_qp", "make_socp", "make_lasso",

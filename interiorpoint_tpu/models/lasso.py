@@ -1,0 +1,196 @@
+"""LASSO driver: min 1/(2m)‖Ax − b‖² + λ‖x‖₁, batched over (b, λ) pairs.
+
+API-parity port target: reference LassoSolver.py.  The ADMM iteration runs
+as one jitted while_loop (ops/admm.py).  The reference's GPU-memory-driven
+chunking (reference: LassoSolver.py:79-94) is replaced by an HBM-budget
+estimate; explicit ``num_chunks`` is still honored with the reference's
+strided chunk assignment (reference: LassoSolver.py:349-351).  For
+multi-chip scaling prefer parallel/batch.py, which shards the sample axis
+across a device mesh instead of running chunks sequentially.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.admm import admm_core
+from ..utils import oracle as oracle_check
+from ..utils.config import AdmmConfig
+from .base import default_dtype
+
+# HBM budget for holding the iterates; the reference assumes 1.5 GB of GPU
+# memory (reference: LassoSolver.py:88-92).  TPU v5e has 16 GB.
+_HBM_BUDGET_BYTES = 8 * 1000**3
+
+
+class LassoSolver:
+    """Drop-in analogue of the reference LassoSolver
+    (reference: LassoSolver.py:16).
+
+    ``adaptive_rho`` is accepted for API parity and ignored: the reference
+    marks it NOT IMPLEMENTED and its computation has no effect on the solve
+    (reference: LassoSolver.py:144-156 assigns a local variable).
+    ``use_gpu`` is ignored (arrays live on the default JAX device).
+    """
+
+    def __init__(self, A, b, reg=1, rho=0.4, max_iters=1000, check_stop=10,
+                 add_bias=False, normalize_A=False, positive=False,
+                 compute_loss=False, adaptive_rho=False, eps_abs=1e-4,
+                 eps_rel=3e-2, use_gpu=False, num_chunks=0,
+                 check_cvxpy=True, dtype=None):
+        del use_gpu, adaptive_rho
+        dtype = dtype or default_dtype()
+        self.cfg = AdmmConfig(
+            rho=float(rho), max_iters=int(max_iters),
+            check_stop=int(check_stop), eps_abs=float(eps_abs),
+            eps_rel=float(eps_rel), positive=bool(positive),
+            add_bias=bool(add_bias), compute_loss=bool(compute_loss),
+            dtype=dtype,
+        )
+
+        A = np.asarray(A, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        if b.ndim < 2:
+            b = b[:, None]
+        self.m = A.shape[0]
+        if normalize_A:
+            # (reference: LassoSolver.py:120-121)
+            A = A / A.std(axis=0)
+        self.add_bias = add_bias
+        if add_bias:
+            # (reference: LassoSolver.py:122-130)
+            A = np.hstack((np.ones((self.m, 1)), A))
+        self.n = A.shape[1]
+
+        reg = np.atleast_1d(np.asarray(reg, dtype=np.float64))
+        assert (len(reg) == b.shape[1] or len(reg) == 1 or b.shape[1] == 1), \
+            "reg must broadcast against the columns of b"
+        self.num_samples = max(b.shape[1], len(reg))
+        self.reg = reg
+        self.rho = float(rho)
+        self.positive = positive
+        self.compute_loss = compute_loss
+
+        # Chunking from an HBM estimate (three iterate copies + data;
+        # reference heuristic shape: LassoSolver.py:79-94).
+        itemsize = 8 if dtype == "float64" else 4
+        iterate_bytes = (3 * self.n * self.num_samples
+                         + b.size + A.size + self.n**2) * itemsize
+        auto_chunks = int(iterate_bytes // _HBM_BUDGET_BYTES) + 1
+        self.num_chunks = max(auto_chunks, int(num_chunks), 1)
+
+        dt = self.cfg.jnp_dtype
+        self._A = jnp.asarray(A, dtype=dt)
+        self._b = jnp.asarray(b, dtype=dt)
+        self._reg = jnp.asarray(reg, dtype=dt)
+
+        if check_cvxpy:
+            print("Testing CVXPY")
+            self.feasible, self.cvxpy_vals, self.cvxpy_sols = (
+                oracle_check.check_lasso(A, b, reg))
+        else:
+            self.feasible, self.cvxpy_vals, self.cvxpy_sols = (None, None,
+                                                               None)
+
+        self.X = np.zeros((self.n, self.num_samples))
+        self.solutions = None
+        self.gaps = None
+        self.num_iterations = None
+
+    def solve(self):
+        """Returns (X, solutions, gaps, iterations)
+        (reference: LassoSolver.py:226-238,327-337)."""
+        if self.num_chunks == 1:
+            res = admm_core(self._A, self._b, self._reg, self.cfg,
+                            self.num_samples)
+            self.X = np.asarray(res.X)
+            self.solutions = np.asarray(res.solutions)
+            it = int(res.iterations)
+            self.gaps = np.asarray(res.gaps)[:it]
+            self.num_iterations = [it]
+            return self.X, self.solutions, self.gaps, it
+
+        # strided chunks (reference: LassoSolver.py:349-351)
+        indices = np.arange(self.num_samples)
+        self.solutions = np.empty(self.num_samples)
+        gaps_rows = self.cfg.max_iters if self.compute_loss else 0
+        self.gaps = np.zeros((gaps_rows, self.num_samples))
+        self.num_iterations = []
+        b_cols = self._b.shape[1]
+        for i in range(self.num_chunks):
+            sel = indices[i::self.num_chunks]
+            b_i = self._b[:, sel] if b_cols == self.num_samples else self._b
+            reg_i = self._reg[sel] if len(self.reg) == self.num_samples \
+                else self._reg
+            res = admm_core(self._A, b_i, reg_i, self.cfg, len(sel))
+            self.X[:, sel] = np.asarray(res.X)
+            self.solutions[sel] = np.asarray(res.solutions)
+            if self.compute_loss:
+                self.gaps[:, sel] = np.asarray(res.gaps)
+            self.num_iterations.append(int(res.iterations))
+        return self.X, self.solutions, self.gaps, self.num_iterations
+
+    def objective(self):
+        """(reference: LassoSolver.py:487-515)"""
+        from ..ops.admm import lasso_objective
+        return np.asarray(lasso_objective(
+            self._A, self._b, self._reg, jnp.asarray(self.X),
+            self.positive, self.add_bias))
+
+    def prox(self, v, eta):
+        """(reference: LassoSolver.py:517-543)"""
+        from ..ops.admm import soft_threshold
+        return np.asarray(soft_threshold(jnp.asarray(v), jnp.asarray(eta),
+                                         self.positive, self.add_bias))
+
+    def check_cvxpy(self):
+        return oracle_check.check_lasso(np.asarray(self._A),
+                                        np.asarray(self._b), self.reg)
+
+    def plot(self, iteration_start=0, iteration_end=-1, subtract_opt=True):
+        """(reference: LassoSolver.py:583-620)"""
+        if not self.compute_loss:
+            raise ValueError(
+                "Need to solve problem with compute_loss set to True to be "
+                "able to plot convergence!")
+        import matplotlib.pyplot as plt
+        gaps = self.gaps
+        iters = (self.num_iterations if isinstance(self.num_iterations, list)
+                 else [self.num_iterations])
+        if iteration_end == -1:
+            ends = iters
+        elif not isinstance(iteration_end, list):
+            ends = [iteration_end]
+        else:
+            ends = iteration_end
+        ax = plt.subplot()
+        for i in range(gaps.shape[1]):
+            iter_gaps = gaps[iteration_start:ends[i % len(ends)], i]
+            if subtract_opt and len(iter_gaps):
+                iter_min = iter_gaps.min()
+                if self.cvxpy_vals is not None:
+                    iter_min = min(self.cvxpy_vals[i], iter_min)
+                ax.plot(iter_gaps[:-1] - iter_min)
+            else:
+                ax.plot(iter_gaps)
+        ax.set_ylabel("Optimality gap")
+        ax.set_xlabel("iteration number")
+        ax.set_title("Convergence of LassoSolver")
+        ax.set_yscale("log")
+        return ax
+
+
+def solve_lasso(A, b, reg=1.0, cfg=None, **cfg_overrides):
+    """Functional one-shot batched LASSO solve returning ADMMResult."""
+    if cfg is None:
+        cfg = AdmmConfig(**{"dtype": default_dtype(), **cfg_overrides})
+    dt = cfg.jnp_dtype
+    A = jnp.asarray(A, dtype=dt)
+    b = jnp.asarray(b, dtype=dt)
+    if b.ndim < 2:
+        b = b[:, None]
+    reg = jnp.atleast_1d(jnp.asarray(reg, dtype=dt))
+    num_samples = max(b.shape[1], reg.shape[0])
+    return admm_core(A, b, reg, cfg, num_samples)
