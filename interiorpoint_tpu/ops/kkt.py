@@ -4,20 +4,26 @@ The reference implements a zoo of 16+ Newton subclasses, one per
 (linear-solve method × diagonal-Hessian × equality-constrained) combination
 (reference: LPSolver.py:371-469, NewtonSolver.py:212-420,
 NewtonSolverInfeasibleStart.py:279-956).  Here the zoo collapses to a single
-``solve_kkt`` entry point with a trace-time strategy string; the equality
-block is handled by the same Schur-complement block elimination the
-reference uses (reference: NewtonSolverInfeasibleStart.py:356-538):
+``solve_kkt_eq``/``solve_newton_step`` pair with a trace-time strategy
+string; the equality block is handled by the same Schur-complement block
+elimination the reference uses
+(reference: NewtonSolverInfeasibleStart.py:356-538):
 
     [[H  Aᵀ] [dx]     [g      ]          H·Y = [Aᵀ | g]
      [A  0 ]][w ] = − [Ax − b ]   ⇒      S = A·H⁻¹Aᵀ,  S·w = (Ax−b) − A·H⁻¹g
                                           dx = −H⁻¹(g + Aᵀw)
 
-Failure handling is NaN-propagation-based instead of exception-based: the
-reference catches ``LinAlgError`` from a failed Cholesky and flips to a
-dense-solve backup for the rest of the solve
-(reference: NewtonSolverInfeasibleStart.py:392-538).  Under ``jit`` there
-are no exceptions, so we detect a non-finite Cholesky factor and switch to
-the dense-solve path with ``lax.cond`` — same recovery, no host round trip.
+Failure handling (SURVEY.md §7 hard part (b)): the reference catches
+``LinAlgError`` from a failed Cholesky and flips to a dense LU/lstsq backup
+for the rest of the solve (reference: NewtonSolverInfeasibleStart.py:392-538).
+Under ``jit`` there are no exceptions — and XLA:TPU has no float64 LU — so
+the 'cholesky' strategy instead detects a non-finite factor and retries with
+escalating diagonal regularization (jitter ladder) inside a while_loop: same
+recovery intent, no host round trip, pure Cholesky all the way down, and
+well-defined under vmap.  If every ladder rung fails, NaNs propagate and the
+line search rejects all candidates — reproducing the reference's
+"LinAlgError → success_flag=False" behaviour
+(reference: NewtonSolverInfeasibleStart.py:161-168) without exceptions.
 """
 
 from __future__ import annotations
@@ -28,16 +34,38 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-
-def _chol(H):
-    return jnp.linalg.cholesky(H)
-
-
-def _chol_ok(L):
-    return jnp.all(jnp.isfinite(L))
+# Jitter ladder, as multiples of mean(diag(H)): first rung 0 is the plain
+# factorization; later rungs regularize progressively harder.
+_JITTERS = (0.0, 1e-14, 1e-11, 1e-8, 1e-5, 1e-2)
 
 
-def _chol_solve(L, B):
+def robust_cholesky(H):
+    """Cholesky with an escalating-jitter retry ladder.
+
+    Returns the factor of H + δ·mean(diag H)·I for the smallest ladder δ
+    that yields a finite factor (δ=0 first).  All-NaN if every rung fails.
+    """
+    n = H.shape[0]
+    scale = jnp.mean(jnp.diag(H))
+    eye = jnp.eye(n, dtype=H.dtype)
+    jitters = jnp.asarray(_JITTERS, dtype=H.dtype)
+
+    L0 = jnp.linalg.cholesky(H)
+
+    def cond(carry):
+        i, L = carry
+        return (~jnp.all(jnp.isfinite(L))) & (i < len(_JITTERS))
+
+    def body(carry):
+        i, _ = carry
+        L = jnp.linalg.cholesky(H + (jitters[i] * scale) * eye)
+        return i + 1, L
+
+    _, L = lax.while_loop(cond, body, (jnp.ones((), jnp.int32), L0))
+    return L
+
+
+def chol_solve(L, B):
     """Solve (L Lᵀ) X = B via two triangular solves
     (reference: NewtonSolverInfeasibleStart.py:399-452 does the same with
     cupyx solve_triangular)."""
@@ -52,7 +80,7 @@ def _chol_solve(L, B):
 def _refine(solve_fn, H, B, X, steps: int):
     """Iterative refinement: X += M⁻¹(B − H X), recovering accuracy lost in
     a low-precision factorization.  New capability (no reference analogue);
-    enabled via SolverConfig.refine_steps for float32 TPU runs."""
+    enabled via SolverConfig.refine_steps."""
     for _ in range(steps):
         R = B - H @ X
         X = X + solve_fn(R)
@@ -65,21 +93,14 @@ def add_psd_conditioning(H):
 
 
 def _solve_posdef(H, B, strategy: str, refine_steps: int = 0):
-    """Solve H X = B where H is (symmetric) positive definite, with the
-    requested strategy.  For 'cholesky', falls back to a dense solve when
-    the factor is non-finite (mirrors reference backup_solve,
-    NewtonSolverInfeasibleStart.py:513-538)."""
+    """Solve H X = B for (symmetric) positive definite H."""
     if strategy == "cholesky":
-        L = _chol(H)
-
-        def chol_path(_):
-            X = _chol_solve(L, B)
-            return _refine(partial(_chol_solve, L), H, B, X, refine_steps)
-
-        def dense_path(_):
-            return jnp.linalg.solve(H, B)
-
-        return lax.cond(_chol_ok(L), chol_path, dense_path, None)
+        L = robust_cholesky(H)
+        X = chol_solve(L, B)
+        return _refine(partial(chol_solve, L), H, B, X, refine_steps)
+    # The remaining strategies use LU/SVD factorizations, which XLA:TPU only
+    # implements in float32; they exist for API parity with the reference's
+    # np_solve / np_lstsq / direct methods and for CPU float64 runs.
     if strategy == "solve":
         return jnp.linalg.solve(H, B)
     if strategy == "lstsq":
@@ -142,32 +163,18 @@ def solve_kkt_eq(H, A, g, rpri, strategy: str, *, use_psd_condition=False,
         # One factorization of H serves both right-hand sides; then factor
         # the Schur complement (reference: two factorizations per step,
         # NewtonSolverInfeasibleStart.py:396-490).
-        L1 = _chol(H)
+        L1 = robust_cholesky(H)
         B = jnp.concatenate([A.T, g[:, None]], axis=1)
-
-        def chol_path(_):
-            Y = _chol_solve(L1, B)
-            return _refine(partial(_chol_solve, L1), H, B, Y, refine_steps)
-
-        def dense_path(_):
-            return jnp.linalg.solve(H, B)
-
-        Y = lax.cond(_chol_ok(L1), chol_path, dense_path, None)
+        Y = chol_solve(L1, B)
+        Y = _refine(partial(chol_solve, L1), H, B, Y, refine_steps)
         Hinv_AT, Hinv_g = Y[:, :-1], Y[:, -1]
         S = A @ Hinv_AT
         S = 0.5 * (S + S.T)
         w = _solve_posdef(S, rpri - A @ Hinv_g, "cholesky", refine_steps)
         dxrhs = g + A.T @ w
-
-        def chol_path2(_):
-            X = _chol_solve(L1, dxrhs)
-            return _refine(partial(_chol_solve, L1), H, dxrhs, X, refine_steps)
-
-        def dense_path2(_):
-            return jnp.linalg.solve(H, dxrhs)
-
-        dx = -lax.cond(_chol_ok(L1), chol_path2, dense_path2, None)
-        return dx, w
+        dx = chol_solve(L1, dxrhs)
+        dx = _refine(partial(chol_solve, L1), H, dxrhs, dx, refine_steps)
+        return -dx, w
 
     # lstsq / solve / inverse block elimination
     # (reference: NewtonSolverNPLstSqInfeasibleStart :279-316,
@@ -208,17 +215,4 @@ def solve_newton_step(H, g, x, strategy: str, *, use_psd_condition=False,
             "full_kkt requires equality constraints "
             "(reference: LPSolver.py:427-430)"
         )
-    # cholesky backup for the feasible-start engine is lstsq
-    # (reference: NewtonSolver.py:334-341)
-    if strategy == "cholesky":
-        L = _chol(H)
-
-        def chol_path(_):
-            X = _chol_solve(L, -g)
-            return _refine(partial(_chol_solve, L), H, -g, X, refine_steps)
-
-        def lstsq_path(_):
-            return jnp.linalg.lstsq(H, -g)[0]
-
-        return lax.cond(_chol_ok(L), chol_path, lstsq_path, None)
-    return _solve_posdef(H, -g, strategy)
+    return _solve_posdef(H, -g, strategy, refine_steps)

@@ -1,0 +1,107 @@
+"""Instance-parallel solves: vmap over problem batches, sharded across a
+device mesh.
+
+TPU-native replacement for the reference's *sequential* chunked batching
+(reference: LassoSolver.py:339-485 solves chunks one after another on one
+GPU; SURVEY.md §2.2): here a batch of problem instances is a leading array
+axis, vmapped into one XLA program and sharded across chips, so the fleet
+solves all instances simultaneously and stopping criteria are evaluated
+per-instance on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.problem import LPProblem, QPProblem
+from ..ops.barrier import make_phase1_linear_oracle, make_qp_oracle
+from ..ops.ipm import barrier_solve
+from ..ops.admm import admm_core
+from .mesh import batch_sharding, replicated
+
+
+def _single_lp(prob, x0, t0, cfg, num_constraints, eq_gate, use_phase1):
+    oracle = make_qp_oracle(prob, try_diag=cfg.try_diag)
+    p1 = make_phase1_linear_oracle(prob) if use_phase1 else None
+    return barrier_solve(oracle, prob.A, prob.b, x0, cfg,
+                         num_constraints=num_constraints, eq_gate=eq_gate,
+                         t0=t0, p1_oracle=p1)
+
+
+def _single_qp(prob, x0, t0, cfg, num_constraints, eq_gate, use_phase1):
+    oracle = make_qp_oracle(prob)
+    p1 = make_phase1_linear_oracle(prob) if use_phase1 else None
+    return barrier_solve(oracle, prob.A, prob.b, x0, cfg,
+                         num_constraints=num_constraints, eq_gate=eq_gate,
+                         t0=t0, p1_oracle=p1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_constraints", "eq_gate",
+                                   "use_phase1", "kind"))
+def _batch_core(prob_batch, x0_batch, t0, cfg, num_constraints, eq_gate,
+                use_phase1, kind):
+    single = _single_lp if kind == "lp" else _single_qp
+    fn = lambda p, x: single(p, x, t0, cfg, num_constraints, eq_gate,
+                             use_phase1)
+    return jax.vmap(fn)(prob_batch, x0_batch)
+
+
+def solve_batch(prob_batch, x0_batch, cfg, mesh=None, axis="batch"):
+    """Solve a batch of same-shaped LP/QP instances in parallel.
+
+    Args:
+      prob_batch: LPProblem/QPProblem pytree whose array leaves carry a
+        leading batch dimension (stack instances with
+        ``jax.tree.map(lambda *xs: jnp.stack(xs), *problems)``).
+      x0_batch: (B, n) strictly-interior starting points.
+      mesh: optional Mesh; the batch axis is sharded across ``axis`` so
+        each chip solves its shard of instances (dp over problems).
+
+    Returns an IPMResult pytree with a leading batch dimension.
+    """
+    kind = "qp" if isinstance(prob_batch, QPProblem) else "lp"
+    dtype = x0_batch.dtype
+    if mesh is not None:
+        shard = lambda x: jax.device_put(
+            x, batch_sharding(mesh, axis, x.ndim))
+        prob_batch = jax.tree.map(shard, prob_batch)
+        x0_batch = shard(x0_batch)
+    use_phase1 = prob_batch.C is not None
+    n = x0_batch.shape[-1]
+    num_constraints = prob_batch.num_ineq_constraints
+    eq_gate = (cfg.eq_gate if cfg.eq_gate is not None
+               else (1e-4 * n if kind == "lp" else 1e-3))
+    return _batch_core(prob_batch, x0_batch,
+                       jnp.asarray(cfg.t0, dtype=dtype), cfg,
+                       int(num_constraints), float(eq_gate),
+                       bool(use_phase1), kind)
+
+
+def solve_lasso_sharded(A, b, reg, cfg, mesh, axis="batch"):
+    """Batched LASSO with the sample axis sharded across the mesh.
+
+    A is replicated; b's columns and the per-problem λ vector are sharded.
+    The global stopping norms (reference: LassoSolver.py:273-298) become
+    XLA all-reduces over the mesh — inserted automatically by the
+    partitioner from the sharding annotations.
+    """
+    dt = cfg.jnp_dtype
+    A = jax.device_put(jnp.asarray(A, dtype=dt), replicated(mesh))
+    b = jnp.asarray(b, dtype=dt)
+    if b.ndim < 2:
+        b = b[:, None]
+    reg = jnp.atleast_1d(jnp.asarray(reg, dtype=dt))
+    num_samples = max(b.shape[1], reg.shape[0])
+    if b.shape[1] == num_samples:
+        b = jax.device_put(b, batch_sharding(mesh, axis, 2, batch_dim=1))
+    if reg.shape[0] == num_samples:
+        reg = jax.device_put(reg, batch_sharding(mesh, axis, 1))
+    return admm_core(A, b, reg, cfg, num_samples)
+
+
+def stack_problems(problems):
+    """Stack same-structure problem pytrees into one batched pytree."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *problems)

@@ -1,0 +1,126 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4:
+simulate multi-host with xla_force_host_platform_device_count)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.optimize import linprog
+
+from interiorpoint_tpu.models.problem import make_lp
+from interiorpoint_tpu.parallel.batch import (
+    solve_batch, solve_lasso_sharded, stack_problems)
+from interiorpoint_tpu.parallel.distributed import (
+    row_sharded_lp_newton_step, shard_rows)
+from interiorpoint_tpu.parallel.mesh import make_mesh
+from interiorpoint_tpu.utils.config import AdmmConfig, SolverConfig
+
+
+def _gen_lp(n, m, k, seed):
+    rng = np.random.default_rng(seed)
+    A = rng.uniform(-2, 2, (m, n))
+    C = rng.uniform(-2, 2, (k, n))
+    x_feas = rng.uniform(-2, 2, n)
+    c = rng.uniform(-2, 2, n)
+    return c, A, A @ x_feas, C, C @ x_feas
+
+
+def test_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_batched_lp_sharded_matches_scipy():
+    """8 LP instances solved in one vmapped program, dp-sharded over the
+    mesh; every instance must match its own scipy optimum."""
+    mesh = make_mesh(8, ("batch",))
+    probs, refs = [], []
+    for s in range(8):
+        c, A, b, C, d = _gen_lp(24, 18, 6, seed=100 + s)
+        probs.append(make_lp(c, A, b, C, d, -3.0, 3.0))
+        refs.append(linprog(c, A_ub=C, b_ub=d, A_eq=A, b_eq=b,
+                            bounds=[(-3, 3)] * 24, method="highs").fun)
+    batch = stack_problems(probs)
+    x0 = jnp.zeros((8, 24), dtype=jnp.float64)
+    cfg = SolverConfig(epsilon=1e-9, t0=1.0, dtype="float64")
+    res = solve_batch(batch, x0, cfg, mesh=mesh)
+    vals = np.asarray(res.value)
+    refs = np.asarray(refs)
+    np.testing.assert_allclose(vals, refs, rtol=2e-4)
+
+
+def test_lasso_sample_sharded_matches_single_device():
+    mesh = make_mesh(8, ("batch",))
+    rng = np.random.default_rng(0)
+    m, n, B = 60, 20, 16
+    A = rng.random((m, n))
+    x_true = np.zeros((n, B))
+    x_true.flat[rng.integers(0, n * B, n * B // 4)] = rng.uniform(0, 50,
+                                                                  n * B // 4)
+    b = A @ x_true + rng.standard_normal((m, B))
+    reg = np.abs(0.05 + 0.01 * rng.standard_normal(B))
+    cfg = AdmmConfig(eps_abs=1e-7, eps_rel=1e-7, max_iters=4000,
+                     dtype="float64")
+    res_sharded = solve_lasso_sharded(A, b, reg, cfg, mesh)
+    from interiorpoint_tpu.models.lasso import solve_lasso
+    res_single = solve_lasso(A, b, reg, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(res_sharded.solutions),
+                               np.asarray(res_single.solutions), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(res_sharded.X),
+                               np.asarray(res_single.X), atol=1e-9)
+
+
+def test_row_sharded_newton_step_matches_single_device():
+    """The psum/all_gather row-sharded Newton step must agree with the
+    single-device block elimination to fp accuracy."""
+    mesh = make_mesh(8, ("rows",))
+    rng = np.random.default_rng(3)
+    n, m, k = 32, 16, 24   # m, k divisible by 8
+    A = rng.uniform(-2, 2, (m, n))
+    C = rng.uniform(-2, 2, (k, n))
+    x_feas = rng.uniform(-1, 1, n)
+    c = rng.uniform(-2, 2, n)
+    b = A @ x_feas
+    d = C @ x_feas + 1.0
+    lb = np.full(n, -3.0)
+    ub = np.full(n, 3.0)
+    x = jnp.asarray(x_feas)
+    v = jnp.zeros(m)
+    t = jnp.asarray(2.0)
+
+    step = row_sharded_lp_newton_step(mesh)
+    x1, v1, resid = step(
+        jnp.asarray(c),
+        shard_rows(mesh, jnp.asarray(A)), shard_rows(mesh, jnp.asarray(b)),
+        shard_rows(mesh, jnp.asarray(C)), shard_rows(mesh, jnp.asarray(d)),
+        jnp.asarray(lb), jnp.asarray(ub), x, v, t,
+    )
+
+    # single-device replica of the same math
+    from interiorpoint_tpu.ops.barrier import make_qp_oracle
+    from interiorpoint_tpu.ops.kkt import solve_kkt_eq
+    prob = make_lp(c, A, b, C, d, lb, ub)
+    oracle = make_qp_oracle(prob, try_diag=False)
+    g = oracle.grad(x, t)
+    H = oracle.hess(x, t)
+    dx, w = solve_kkt_eq(H, jnp.asarray(A), g, jnp.asarray(A) @ x - b,
+                         "cholesky")
+    dv = w - v
+    ds_C = np.asarray(C) @ np.asarray(dx)
+    s_C = d - C @ np.asarray(x)
+    lim = np.inf
+    pos = ds_C > 0
+    if pos.any():
+        lim = min(lim, (s_C[pos] / ds_C[pos]).min())
+    dxn = np.asarray(dx)
+    up = dxn > 0
+    dn = dxn < 0
+    if up.any():
+        lim = min(lim, ((ub - np.asarray(x))[up] / dxn[up]).min())
+    if dn.any():
+        lim = min(lim, ((lb - np.asarray(x))[dn] / dxn[dn]).min())
+    sigma = min(1.0, 0.99 * lim)
+    x_ref = np.asarray(x) + sigma * dxn
+    np.testing.assert_allclose(np.asarray(x1), x_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v + sigma * dv),
+                               rtol=1e-8, atol=1e-10)
+    assert np.isfinite(float(resid))
