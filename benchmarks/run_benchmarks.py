@@ -1,0 +1,213 @@
+"""Benchmark harness: reference-parity sweeps over problem dimension.
+
+Port target: reference testSolver.py — test_LP (:15-276), test_QP
+(:437-808), test_SOCP (:810-1034), test_LASSO (:1036-1292), test_LP_sparse
+(:278-435), main (:1305-1333).  Solver hyperparameters per problem class
+match the reference's benchmark calls exactly; results are written as
+reference-format CSVs (utils/csvio.py) consumable by utils/plotting.py.
+
+Oracle columns: CVXPY/CLARABEL when installed, scipy-HiGHS for LP
+otherwise; reps halve at n≥1000 and drop to 3 at n≥2500
+(reference: testSolver.py:66-71).
+
+Usage: python benchmarks/run_benchmarks.py --suite lp --dims 100 500 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from time import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+from interiorpoint_tpu import (  # noqa: E402
+    LassoSolver, LPSolver, QPSolver, SOCPSolver)
+from interiorpoint_tpu.utils import generators, oracle  # noqa: E402
+from interiorpoint_tpu.utils.csvio import write_results  # noqa: E402
+
+
+def _reps_for(n, N):
+    """(reference: testSolver.py:66-71)"""
+    if n < 1000:
+        return N
+    if n < 2500:
+        return max(1, N // 2)
+    return min(3, N)
+
+
+def _timed(fn):
+    t0 = time()
+    val = fn()
+    return time() - t0, val
+
+
+def test_LP(dims, N=10, outdir=".", verbose=True, check_oracle=True):
+    np.random.seed(1)  # (reference: testSolver.py:32)
+    num_tests = len(dims)
+    t_ours = np.zeros((num_tests, N))
+    t_orc = np.zeros((num_tests, N))
+    v_ours = np.zeros((num_tests, N))
+    v_orc = np.zeros((num_tests, N))
+    for count, n in enumerate(dims):
+        reps = _reps_for(n, N)
+        for i in range(reps):
+            p = generators.generate_lp(n)
+            if check_oracle:
+                dt, (status, val, _) = _timed(lambda: oracle.check_lp(
+                    p["c"], p["A"], p["b"], p["C"], p["d"],
+                    np.full(n, -3.0), np.full(n, 3.0)))
+                t_orc[count, i], v_orc[count, i] = dt, val
+            solver = LPSolver(
+                **p, suppress_print=True, check_cvxpy=False, epsilon=1e-4,
+                mu=15, t0=1, max_inner_iters=20, max_outer_iters=10,
+                beta=0.5, alpha=0.05)  # (reference: testSolver.py:131-146)
+            solver.solve()  # warm the jit cache (one-time compile)
+            dt, val = _timed(solver.solve)
+            t_ours[count, i], v_ours[count, i] = dt, val
+            if verbose:
+                print(f"LP n={n} rep={i}: ours {dt:.3f}s val={val:.5f}"
+                      + (f" oracle {v_orc[count, i]:.5f}" if check_oracle
+                         else ""))
+    write_results(os.path.join(outdir, "testResults_tpu_LP.csv"), t_ours)
+    write_results(os.path.join(outdir, "testResults_tpu_LPValues.csv"),
+                  v_ours)
+    if check_oracle:
+        write_results(os.path.join(outdir, "testResults_oracle_LP.csv"),
+                      t_orc)
+        write_results(
+            os.path.join(outdir, "testResults_oracle_LPValues.csv"), v_orc)
+    return t_ours, v_ours
+
+
+def test_QP(dims, N=10, outdir=".", verbose=True, check_oracle=True):
+    np.random.seed(1)
+    num_tests = len(dims)
+    t_ours = np.zeros((num_tests, N))
+    v_ours = np.zeros((num_tests, N))
+    for count, n in enumerate(dims):
+        reps = _reps_for(n, N)
+        for i in range(reps):
+            p = generators.generate_qp(n)
+            solver = QPSolver(
+                **p, suppress_print=True, check_cvxpy=False, epsilon=1e-8,
+                mu=15, t0=0.01, max_inner_iters=100, max_outer_iters=10,
+                beta=0.6)  # (reference: testSolver.py:565-580)
+            solver.solve()
+            dt, val = _timed(solver.solve)
+            t_ours[count, i], v_ours[count, i] = dt, val
+            if verbose:
+                print(f"QP n={n} rep={i}: ours {dt:.3f}s val={val:.5f}")
+    write_results(os.path.join(outdir, "testResults_tpu_QP.csv"), t_ours)
+    write_results(os.path.join(outdir, "testResults_tpu_QPValues.csv"),
+                  v_ours)
+    return t_ours, v_ours
+
+
+def test_SOCP(dims, N=10, outdir=".", verbose=True):
+    np.random.seed(1)
+    num_tests = len(dims)
+    t_ours = np.zeros((num_tests, N))
+    v_ours = np.zeros((num_tests, N))
+    for count, n in enumerate(dims):
+        reps = _reps_for(n, N)
+        for i in range(reps):
+            p = generators.generate_socp(n)
+            x0 = p.pop("x0")
+            solver = SOCPSolver(
+                **p, suppress_print=True, check_cvxpy=False, epsilon=1e-4,
+                mu=15, t0=0.1, max_inner_iters=500, max_outer_iters=10,
+                beta=0.5, alpha=0.05,
+                x0=x0)  # (reference: testSolver.py:924-941)
+            solver.solve()
+            dt, val = _timed(solver.solve)
+            t_ours[count, i], v_ours[count, i] = dt, val
+            if verbose:
+                print(f"SOCP n={n} rep={i}: ours {dt:.3f}s val={val:.5f}")
+    write_results(os.path.join(outdir, "testResults_tpu_SOCP.csv"), t_ours)
+    write_results(os.path.join(outdir, "testResults_tpu_SOCPValues.csv"),
+                  v_ours)
+    return t_ours, v_ours
+
+
+def test_LASSO(dims, N=10, outdir=".", verbose=True, num_problems=30):
+    np.random.seed(1)
+    num_tests = len(dims)
+    t_ours = np.zeros((num_tests, N))
+    v_ours = np.zeros((num_tests, N, num_problems))
+    for count, n in enumerate(dims):
+        reps = _reps_for(n, N)
+        for i in range(reps):
+            p = generators.generate_lasso(n, num_problems=num_problems)
+            solver = LassoSolver(
+                p["A"], p["b"], reg=p["reg"], rho=0.4, max_iters=5000,
+                check_stop=10, add_bias=True, eps_rel=1e-6, eps_abs=1e-6,
+                check_cvxpy=False)  # (reference: testSolver.py:1142-1163)
+            solver.solve()
+            dt, (X, sols, gaps, iters) = _timed(solver.solve)
+            t_ours[count, i] = dt
+            v_ours[count, i, :] = sols
+            if verbose:
+                print(f"LASSO n={n} rep={i}: ours {dt:.3f}s "
+                      f"mean obj {np.mean(sols):.5f}")
+    write_results(os.path.join(outdir, "testResults_tpu_LASSOTimes.csv"),
+                  t_ours)
+    np.save(os.path.join(outdir, "testResults_tpu_LASSOValues.npy"), v_ours)
+    return t_ours, v_ours
+
+
+def test_LP_sparse(data_dir, data_files, N=10, outdir=".", verbose=True):
+    """MIPLIB .npy instances (reference: testSolver.py:278-435)."""
+    from interiorpoint_tpu.utils.miplib import load_lp_npy
+
+    t_ours = np.zeros((len(data_files), N))
+    v_ours = np.zeros((len(data_files), N))
+    for count, fname in enumerate(data_files):
+        c, A, b, C, d, ub, lb = load_lp_npy(os.path.join(data_dir, fname))
+        for i in range(N):
+            solver = LPSolver(
+                c=c, A=A, b=b, C=C, d=d, lower_bound=lb, upper_bound=ub,
+                suppress_print=True, check_cvxpy=False, epsilon=1e-4,
+                mu=15, t0=1, max_inner_iters=20, max_outer_iters=10,
+                beta=0.5, alpha=0.05)
+            solver.solve()
+            dt, val = _timed(solver.solve)
+            t_ours[count, i], v_ours[count, i] = dt, val
+            if verbose:
+                print(f"{fname} rep={i}: {dt:.3f}s val={val:.5f}")
+    write_results(os.path.join(outdir, "testResults_tpu_LP_sparse.csv"),
+                  t_ours)
+    return t_ours, v_ours
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--suite", nargs="+",
+                   default=["lp", "qp", "socp", "lasso"])
+    p.add_argument("--dims", nargs="+", type=int,
+                   default=[100, 500, 1000])  # full ref sweep goes to 5000
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--outdir", type=str, default="benchmarks/results")
+    p.add_argument("--no-oracle", action="store_true")
+    args = p.parse_args()
+    os.makedirs(args.outdir, exist_ok=True)
+    if "lp" in args.suite:
+        test_LP(args.dims, N=args.reps, outdir=args.outdir,
+                check_oracle=not args.no_oracle)
+    if "qp" in args.suite:
+        test_QP(args.dims, N=args.reps, outdir=args.outdir)
+    if "socp" in args.suite:
+        test_SOCP(args.dims, N=args.reps, outdir=args.outdir)
+    if "lasso" in args.suite:
+        test_LASSO(args.dims, N=args.reps, outdir=args.outdir)
+
+
+if __name__ == "__main__":
+    main()

@@ -116,6 +116,28 @@ class BarrierDriver:
         self.cvxpy_val = None
         self.cvxpy_sol = None
 
+        # Reduced-space (null-space) fast path; populated by subclasses via
+        # _setup_reduced (see models/reduced.py, ops/nullspace.py).
+        self._reduced = None
+        self._oracle_fn_z = None
+        self._p1_oracle_fn_z = None
+
+    def _setup_reduced(self, reduce_fn, oracle_fn_z, p1_oracle_fn_z):
+        """Attempt the null-space elimination; silently fall back to the
+        full-space engine if the factorization is unusable (rank-deficient
+        A surfaces as non-finite basis entries)."""
+        import numpy as _np
+
+        try:
+            rf = reduce_fn(self._prob)
+        except ValueError:
+            return
+        if not bool(_np.isfinite(_np.asarray(rf.basis.N)).all()):
+            return
+        self._reduced = rf
+        self._oracle_fn_z = oracle_fn_z
+        self._p1_oracle_fn_z = p1_oracle_fn_z
+
     # -- hooks -------------------------------------------------------------
 
     def _check_x0(self, x):
@@ -155,13 +177,27 @@ class BarrierDriver:
         A, b = self._eq
         eq_gate = cfg.eq_gate if cfg.eq_gate is not None else self._eq_gate_default
 
-        res = _barrier_core(
-            self._prob, A, b,
-            jnp.asarray(x0, dtype=dtype),
-            jnp.asarray(t0, dtype=dtype),
-            cfg, self._oracle_fn, self._p1_oracle_fn,
-            self.num_constraints, float(eq_gate),
-        )
+        if self._reduced is not None:
+            rf = self._reduced
+            z0 = rf.basis.N.T @ (jnp.asarray(x0, dtype=dtype) - rf.basis.x_p)
+            res = _barrier_core(
+                rf.prob, None, None, z0, jnp.asarray(t0, dtype=dtype),
+                cfg, self._oracle_fn_z, self._p1_oracle_fn_z,
+                self.num_constraints, float(eq_gate),
+            )
+            x_best = rf.expand(res.x)
+            obj_offset = float(rf.obj_offset)
+        else:
+            res = _barrier_core(
+                self._prob, A, b,
+                jnp.asarray(x0, dtype=dtype),
+                jnp.asarray(t0, dtype=dtype),
+                cfg, self._oracle_fn, self._p1_oracle_fn,
+                self.num_constraints, float(eq_gate),
+            )
+            x_best = res.x
+            obj_offset = 0.0
+        res = res._replace(x=x_best)
         res = jax.tree_util.tree_map(np.asarray, res)
 
         if res.phase1 is not None and np.isfinite(res.phase1.s):
@@ -178,12 +214,12 @@ class BarrierDriver:
         self.outer_iters = int(res.outer_iters)
         self.inner_iters = [int(k) for k in res.inner_iters[: self.outer_iters]]
         self.objective_vals = [
-            float(o) for o in res.obj_vals[: self.outer_iters]
+            float(o) + obj_offset for o in res.obj_vals[: self.outer_iters]
             if np.isfinite(o)
         ]
         self.xstar = res.x
         self.optimal = True
-        self.value = float(res.value)
+        self.value = float(res.value) + obj_offset
         self.optimality_gap = float(res.dual_gap)
 
         if self.get_dual_variables:
@@ -193,8 +229,23 @@ class BarrierDriver:
             if res.v is not None:
                 self.v_star = res.v / float(res.t)
                 self.vstar = self.v_star
+            elif self._reduced is not None and self._eq[0] is not None:
+                # Closed-form equality dual from stationarity at the final
+                # iterate (ops/nullspace.py:recover_equality_dual).
+                from ..ops.nullspace import recover_equality_dual
+
+                g_full = self._full_gradient(jnp.asarray(res.x),
+                                             jnp.asarray(float(res.t)))
+                v = recover_equality_dual(self._reduced.basis, self._eq[0],
+                                          g_full)
+                self.v_star = np.asarray(v) / float(res.t)
+                self.vstar = self.v_star
 
         return self.value
+
+    def _full_gradient(self, x, t):
+        """Full-space barrier gradient at (x, t) for dual recovery."""
+        return self._oracle_fn(self._prob).grad(x, t)
 
     def plot(self, subtract_cvxpy=True):
         """Optimality gap vs cumulative Newton iterations

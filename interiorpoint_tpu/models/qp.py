@@ -34,7 +34,7 @@ class QPSolver(BarrierDriver):
                  use_gpu=False, try_diag=True, track_loss=False,
                  get_dual_variables=False, phase1_tol=0, phase1_t0=0.01,
                  x0=None, update_slacks_every=0, dtype=None,
-                 refine_steps=0, eq_gate=None):
+                 refine_steps=0, eq_gate=None, reduced=None):
         del use_gpu
         if P is None:
             # (reference: QPSolver.py:104-107 rejects missing P)
@@ -93,6 +93,17 @@ class QPSolver(BarrierDriver):
         self._eq_gate_default = 1e-3
         self.num_constraints = self._prob.num_ineq_constraints
         self.bounded = lb is not None or ub is not None
+
+        want_reduced = reduced if reduced is not None else (
+            self._prob.A is not None
+            and self._prob.A.shape[0] < self.n
+            and self.num_constraints > 0
+            # full_kkt is an explicitly-requested full-space debug path
+            and self.cfg.kkt_strategy != "full_kkt")
+        if want_reduced and self._prob.A is not None:
+            from ..ops.barrier import make_phase1_linear_oracle as _p1
+            from .reduced import reduce_qp
+            self._setup_reduced(reduce_qp, _qp_oracle, _p1)
 
     def _check_x0(self, x):
         prob = self._prob

@@ -103,7 +103,7 @@ class SOCPSolver(BarrierDriver):
                  use_gpu=False, try_diag=True, track_loss=False,
                  get_dual_variables=False, phase1_tol=0,
                  use_psd_condition=False, x0=None, update_slacks_every=0,
-                 dtype=None, refine_steps=0, eq_gate=None):
+                 dtype=None, refine_steps=0, eq_gate=None, reduced=None):
         del use_gpu
         P, q, A, b, c, d, F, g, self.n = _normalize_socp_inputs(
             P, q, A, b, c, d, F, g, lower_bound, upper_bound)
@@ -157,6 +157,16 @@ class SOCPSolver(BarrierDriver):
         self._eq_gate_default = 1e-3
         self.num_constraints = self._prob.num_ineq_constraints
         self.bounded = lb is not None or ub is not None
+
+        # Reduced SOCP requires unbounded variables (models/reduced.py).
+        want_reduced = reduced if reduced is not None else (
+            self._prob.F is not None
+            and self._prob.F.shape[0] < self.n
+            and not self.bounded)
+        if want_reduced and self._prob.F is not None:
+            from .reduced import reduce_socp
+            self._setup_reduced(reduce_socp, _socp_oracle,
+                                make_phase1_socp_oracle)
 
     def _slacks_at(self, x):
         return socp_full_slacks(self._prob, x)

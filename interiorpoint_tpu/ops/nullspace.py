@@ -1,0 +1,94 @@
+"""Null-space (reduced-space) elimination of equality constraints.
+
+TPU-first algorithmic redesign, no reference analogue: the reference's
+infeasible-start Newton factors an n×n barrier Hessian and an m×m Schur
+complement at *every* Newton step (reference:
+NewtonSolverInfeasibleStart.py:386-511) — O(n³ + m²n) of
+triangular-solve-bound work per iteration.  On TPU, dense factorizations
+and triangular solves run far below matmul throughput (and float64 is
+emulated), so we instead eliminate Ax = b once per problem:
+
+    x = x_p + N z,   A x_p = b,   A N = 0,   NᵀN = I_r,   r = n − m
+
+after which the barrier subproblems live in r dimensions with *only*
+inequality constraints: every Newton step factors an r×r matrix (r = 0.2n
+on the reference benchmark — a 125× FLOP cut on the factorization) and the
+remaining per-iteration work is MXU-friendly matmuls with the reduced
+constraint matrix.  Equality feasibility holds by construction, so the
+feasible-start engine applies and the dual iterate v is recovered once at
+the end from the stationarity condition.
+
+The basis is built with CholeskyQR² (matmuls + small Cholesky factors)
+rather than Householder QR: XLA:TPU has no float64 QR, and CholeskyQR²'s
+orthogonality error is O(eps) after the second pass for the
+well-conditioned projected Gaussian blocks used here.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .kkt import chol_solve, robust_cholesky
+
+
+class AffineBasis(NamedTuple):
+    """x = x_p + N z parameterization of {x : Ax = b}."""
+    N: jax.Array       # (n, r) orthonormal null-space basis of A
+    x_p: jax.Array     # (n,) particular solution (min-norm)
+    L_AAt: jax.Array   # Cholesky factor of AAᵀ (reused for dual recovery)
+
+
+def _cholesky_qr2(X):
+    """Two-pass Cholesky-QR orthonormalization of the columns of X."""
+    for _ in range(2):
+        S = X.T @ X
+        L = robust_cholesky(S)
+        # X ← X L⁻ᵀ  (right triangular solve)
+        X = jax.scipy.linalg.solve_triangular(L, X.T, lower=True).T
+    return X
+
+
+def affine_elimination(A, b, seed: int = 0) -> AffineBasis:
+    """Factor {x : Ax = b} = {x_p + N z}.  Requires full row rank
+    (guaranteed for the reference benchmark's dense Gaussian A;
+    rank-deficient A surfaces as a non-finite factor → caller falls back
+    to the full-space engine).
+
+    One-time cost: one m×m Cholesky + O(mn(n−m)) of matmuls — amortized
+    over the whole interior-point solve.
+    """
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+    m, n = A.shape
+    r = n - m
+    if r <= 0:
+        raise ValueError("null-space elimination requires m < n")
+
+    L = robust_cholesky(A @ A.T)
+    x_p = A.T @ chol_solve(L, b)
+
+    # Project a deterministic Gaussian block onto null(A), then
+    # orthonormalize.  Host-side RNG: this runs eagerly at problem-setup
+    # time (the analogue of the reference's construction-time work,
+    # LPSolver.py:158-224).
+    G = jnp.asarray(
+        np.random.default_rng(seed).standard_normal((n, r)), dtype=A.dtype)
+    N0 = G - A.T @ chol_solve(L, A @ G)
+    N = _cholesky_qr2(N0)
+    # One re-projection kills the O(eps·κ) leakage reintroduced by the
+    # orthonormalization, then a final cheap re-orthonormalization.
+    N = N - A.T @ chol_solve(L, A @ N)
+    N = _cholesky_qr2(N)
+    return AffineBasis(N=N, x_p=x_p, L_AAt=L)
+
+
+def recover_equality_dual(basis: AffineBasis, A, g_full):
+    """v solving min‖Aᵀv + g_full‖: the equality multiplier consistent with
+    stationarity at the final iterate (full-space analogue:
+    the v carried by the infeasible-start engine; reference dual recovery
+    v* = v/t at LPSolver.py:641-646 — here computed in closed form)."""
+    return -chol_solve(basis.L_AAt, A @ g_full)
