@@ -87,14 +87,89 @@ def _refine(solve_fn, H, B, X, steps: int):
     return X
 
 
+# ---------------------------------------------------------------------------
+# Mixed-precision positive-definite solve: the TPU production path.
+#
+# XLA:TPU emulates float64, and its float64 Cholesky is catastrophically
+# slow for the blocked panel factorization (measured on TPU v5e via axon:
+# chol+2 trisolves at n=200 — 17.3 ms in f64 vs 0.27 ms in f32, a 64×
+# gap).  Barrier Hessians are exactly the worst case: refactored at every
+# Newton step.
+#
+# The fix is classical mixed-precision iterative refinement on a
+# Jacobi-scaled system: with D = diag(H)^(-1/2), the scaled Hs = D·H·D is
+# PSD with unit diagonal, so every entry lies in [-1, 1] — no float32
+# overflow regardless of how ill-scaled the barrier terms get — and the
+# barrier Hessian's dominant (diagonal) ill-conditioning is removed before
+# the float32 factorization sees it.  Refinement residuals are computed in
+# float64 against the float64 Hs, restoring ~f64 solution accuracy in a few
+# matmul-cheap iterations.
+# ---------------------------------------------------------------------------
+
+_MIXED_MAX_REFINE = 20
+_MIXED_RTOL = 1e-13
+
+
+def _mixed_posdef_solve(H, B, extra_refine: int = 0):
+    """Solve H X = B (f64) via Jacobi-scaled f32 Cholesky + adaptive f64
+    iterative refinement (runs until the f64 residual stops improving past
+    _MIXED_RTOL relative, capped at _MIXED_MAX_REFINE + extra_refine)."""
+    dtype = H.dtype
+    dg = jnp.diagonal(H)
+    d = 1.0 / jnp.sqrt(jnp.maximum(dg, jnp.finfo(dtype).tiny))
+    Hs = H * d[:, None] * d[None, :]
+    L32 = robust_cholesky(Hs.astype(jnp.float32))
+
+    vec = B.ndim == 1
+    Bs = (d * B) if vec else (d[:, None] * B)
+
+    def solve32(R):
+        return chol_solve(L32, R.astype(jnp.float32)).astype(dtype)
+
+    bnorm = jnp.linalg.norm(Bs)
+    max_steps = _MIXED_MAX_REFINE + extra_refine
+
+    X0 = solve32(Bs)
+    R0 = Bs - Hs @ X0
+    rn0 = jnp.linalg.norm(R0)
+
+    def cond(c):
+        i, X, R, rn = c
+        return (rn > _MIXED_RTOL * bnorm) & (i < max_steps) & jnp.isfinite(rn)
+
+    def body(c):
+        i, X, R, _ = c
+        X = X + solve32(R)
+        R = Bs - Hs @ X
+        return i + 1, X, R, jnp.linalg.norm(R)
+
+    _, X, _, rn = lax.while_loop(cond, body,
+                                 (jnp.zeros((), jnp.int32), X0, R0, rn0))
+
+    # Refinement stalls once κ(Hs)·eps32 ≳ 1 (deep barrier iterations with
+    # huge t).  Fall back to the exact f64 factorization only then — the
+    # slow path runs for a handful of final Newton steps instead of all of
+    # them.  (Under vmap this cond lowers to a select and both branches
+    # execute; batched solves trade that cost for correctness.)
+    def exact(_):
+        L = robust_cholesky(Hs)
+        return chol_solve(L, Bs)
+
+    X = lax.cond(rn > 1e-10 * bnorm, exact, lambda _: X, None)
+    return (d * X) if vec else (d[:, None] * X)
+
+
 def add_psd_conditioning(H):
     """+1e-9 on the diagonal (reference: NewtonSolver.py:269-275)."""
     return H + 1e-9 * jnp.eye(H.shape[0], dtype=H.dtype)
 
 
-def _solve_posdef(H, B, strategy: str, refine_steps: int = 0):
+def _solve_posdef(H, B, strategy: str, refine_steps: int = 0,
+                  mixed: bool = False):
     """Solve H X = B for (symmetric) positive definite H."""
     if strategy == "cholesky":
+        if mixed and H.dtype == jnp.float64:
+            return _mixed_posdef_solve(H, B, refine_steps)
         L = robust_cholesky(H)
         X = chol_solve(L, B)
         return _refine(partial(chol_solve, L), H, B, X, refine_steps)
@@ -111,7 +186,8 @@ def _solve_posdef(H, B, strategy: str, refine_steps: int = 0):
 
 
 def solve_kkt_eq(H, A, g, rpri, strategy: str, *, use_psd_condition=False,
-                 refine_steps: int = 0, diag: bool = False):
+                 refine_steps: int = 0, diag: bool = False,
+                 mixed: bool = False):
     """Equality-constrained Newton step via block elimination.
 
     Args:
@@ -134,7 +210,7 @@ def solve_kkt_eq(H, A, g, rpri, strategy: str, *, use_psd_condition=False,
         S = A @ Hinv_AT
         rhs = rpri - A @ Hinv_g
         strat = "cholesky" if strategy in ("cholesky", "diagonal") else strategy
-        w = _solve_posdef(S, rhs, strat, refine_steps)
+        w = _solve_posdef(S, rhs, strat, refine_steps, mixed)
         dx = -hinv * (g + A.T @ w)
         return dx, w
 
@@ -163,8 +239,16 @@ def solve_kkt_eq(H, A, g, rpri, strategy: str, *, use_psd_condition=False,
         # One factorization of H serves both right-hand sides; then factor
         # the Schur complement (reference: two factorizations per step,
         # NewtonSolverInfeasibleStart.py:396-490).
-        L1 = robust_cholesky(H)
         B = jnp.concatenate([A.T, g[:, None]], axis=1)
+        if mixed and H.dtype == jnp.float64:
+            Y = _mixed_posdef_solve(H, B, refine_steps)
+            Hinv_AT, Hinv_g = Y[:, :-1], Y[:, -1]
+            S = A @ Hinv_AT
+            S = 0.5 * (S + S.T)
+            w = _mixed_posdef_solve(S, rpri - A @ Hinv_g, refine_steps)
+            dx = -_mixed_posdef_solve(H, g + A.T @ w, refine_steps)
+            return dx, w
+        L1 = robust_cholesky(H)
         Y = chol_solve(L1, B)
         Y = _refine(partial(chol_solve, L1), H, B, Y, refine_steps)
         Hinv_AT, Hinv_g = Y[:, :-1], Y[:, -1]
@@ -190,7 +274,7 @@ def solve_kkt_eq(H, A, g, rpri, strategy: str, *, use_psd_condition=False,
 
 def solve_newton_step(H, g, x, strategy: str, *, use_psd_condition=False,
                       refine_steps: int = 0, diag: bool = False,
-                      max_cg_iters: int = 50):
+                      max_cg_iters: int = 50, mixed: bool = False):
     """Unconstrained Newton step H dx = −g (feasible-start engine;
     reference: NewtonSolver.py:212-420)."""
     if diag:
@@ -215,4 +299,4 @@ def solve_newton_step(H, g, x, strategy: str, *, use_psd_condition=False,
             "full_kkt requires equality constraints "
             "(reference: LPSolver.py:427-430)"
         )
-    return _solve_posdef(H, -g, strategy, refine_steps)
+    return _solve_posdef(H, -g, strategy, refine_steps, mixed)

@@ -87,6 +87,7 @@ def newton_infeasible(oracle: Oracle, A, b, x0, v0, t, cfg) -> NewtonResult:
             use_psd_condition=cfg.use_psd_condition,
             refine_steps=cfg.refine_steps,
             diag=oracle.diag_hessian,
+            mixed=cfg.mixed_precision,
         )
         dv = w - s.v
 
@@ -161,6 +162,7 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
             refine_steps=cfg.refine_steps,
             diag=oracle.diag_hessian,
             max_cg_iters=cfg.max_cg_iters,
+            mixed=cfg.mixed_precision,
         )
 
         f0 = oracle.newton_obj(s.x, t)

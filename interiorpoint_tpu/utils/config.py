@@ -104,6 +104,11 @@ class SolverConfig:
     # Rounds of iterative refinement applied to each Cholesky solve; useful
     # in float32 to recover accuracy lost to the factorization.
     refine_steps: int = 0
+    # Mixed-precision Cholesky (float64 mode only): factor the
+    # Jacobi-scaled Hessian in float32 and refine residuals in float64.
+    # XLA:TPU's emulated f64 Cholesky is ~64x slower than f32 (see
+    # ops/kkt.py); this recovers f64 accuracy at f32 factorization cost.
+    mixed_precision: bool = True
 
     def __post_init__(self):
         object.__setattr__(
