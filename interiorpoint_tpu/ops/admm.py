@@ -65,16 +65,20 @@ def admm_core(A, b, reg, cfg, num_samples: int) -> ADMMResult:
     B = num_samples
     rho = jnp.asarray(cfg.rho, dtype)
 
+    from .kkt import mixed_posdef_solve
+
     AtA = A.T @ A
     Q = AtA + (m * cfg.rho) * jnp.eye(n, dtype=dtype)
-    L = jnp.linalg.cholesky(Q)
-
-    def chol_solve(Bmat):
-        Y = jax.scipy.linalg.solve_triangular(L, Bmat, lower=True)
-        return jax.scipy.linalg.solve_triangular(L.T, Y, lower=False)
-
-    bA = chol_solve(A.T @ b)                      # (n, b_cols)
-    Qinv = chol_solve(jnp.eye(n, dtype=dtype))
+    # One-time factorization; mixed f32-factor + f64-refined solves avoid
+    # XLA:TPU's slow emulated f64 Cholesky (see ops/kkt.py).
+    eye = jnp.eye(n, dtype=dtype)
+    if dtype == jnp.float64:
+        Qinv = mixed_posdef_solve(Q, eye)
+    else:
+        L = jnp.linalg.cholesky(Q)
+        Y = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        Qinv = jax.scipy.linalg.solve_triangular(L.T, Y, lower=False)
+    bA = Qinv @ (A.T @ b)                         # (n, b_cols)
     Qs = -(m * cfg.rho) * Qinv                    # (reference: :219)
 
     eta = reg / rho                               # (B,) or (1,)

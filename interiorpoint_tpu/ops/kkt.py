@@ -110,7 +110,7 @@ _MIXED_MAX_REFINE = 20
 _MIXED_RTOL = 1e-13
 
 
-def _mixed_posdef_solve(H, B, extra_refine: int = 0):
+def mixed_posdef_solve(H, B, extra_refine: int = 0):
     """Solve H X = B (f64) via Jacobi-scaled f32 Cholesky + adaptive f64
     iterative refinement (runs until the f64 residual stops improving past
     _MIXED_RTOL relative, capped at _MIXED_MAX_REFINE + extra_refine)."""
@@ -169,7 +169,7 @@ def _solve_posdef(H, B, strategy: str, refine_steps: int = 0,
     """Solve H X = B for (symmetric) positive definite H."""
     if strategy == "cholesky":
         if mixed and H.dtype == jnp.float64:
-            return _mixed_posdef_solve(H, B, refine_steps)
+            return mixed_posdef_solve(H, B, refine_steps)
         L = robust_cholesky(H)
         X = chol_solve(L, B)
         return _refine(partial(chol_solve, L), H, B, X, refine_steps)
@@ -241,12 +241,12 @@ def solve_kkt_eq(H, A, g, rpri, strategy: str, *, use_psd_condition=False,
         # NewtonSolverInfeasibleStart.py:396-490).
         B = jnp.concatenate([A.T, g[:, None]], axis=1)
         if mixed and H.dtype == jnp.float64:
-            Y = _mixed_posdef_solve(H, B, refine_steps)
+            Y = mixed_posdef_solve(H, B, refine_steps)
             Hinv_AT, Hinv_g = Y[:, :-1], Y[:, -1]
             S = A @ Hinv_AT
             S = 0.5 * (S + S.T)
-            w = _mixed_posdef_solve(S, rpri - A @ Hinv_g, refine_steps)
-            dx = -_mixed_posdef_solve(H, g + A.T @ w, refine_steps)
+            w = mixed_posdef_solve(S, rpri - A @ Hinv_g, refine_steps)
+            dx = -mixed_posdef_solve(H, g + A.T @ w, refine_steps)
             return dx, w
         L1 = robust_cholesky(H)
         Y = chol_solve(L1, B)

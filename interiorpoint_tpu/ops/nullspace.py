@@ -32,14 +32,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .kkt import chol_solve, robust_cholesky
+from .kkt import chol_solve, mixed_posdef_solve, robust_cholesky
 
 
 class AffineBasis(NamedTuple):
     """x = x_p + N z parameterization of {x : Ax = b}."""
     N: jax.Array       # (n, r) orthonormal null-space basis of A
     x_p: jax.Array     # (n,) particular solution (min-norm)
-    L_AAt: jax.Array   # Cholesky factor of AAᵀ (reused for dual recovery)
+    AAt: jax.Array     # AAᵀ (reused for dual recovery via mixed solve)
 
 
 def _cholesky_qr2(X):
@@ -68,8 +68,8 @@ def affine_elimination(A, b, seed: int = 0) -> AffineBasis:
     if r <= 0:
         raise ValueError("null-space elimination requires m < n")
 
-    L = robust_cholesky(A @ A.T)
-    x_p = A.T @ chol_solve(L, b)
+    AAt = A @ A.T
+    x_p = A.T @ mixed_posdef_solve(AAt, b)
 
     # Project a deterministic Gaussian block onto null(A), then
     # orthonormalize.  Host-side RNG: this runs eagerly at problem-setup
@@ -77,13 +77,13 @@ def affine_elimination(A, b, seed: int = 0) -> AffineBasis:
     # LPSolver.py:158-224).
     G = jnp.asarray(
         np.random.default_rng(seed).standard_normal((n, r)), dtype=A.dtype)
-    N0 = G - A.T @ chol_solve(L, A @ G)
+    N0 = G - A.T @ mixed_posdef_solve(AAt, A @ G)
     N = _cholesky_qr2(N0)
     # One re-projection kills the O(eps·κ) leakage reintroduced by the
     # orthonormalization, then a final cheap re-orthonormalization.
-    N = N - A.T @ chol_solve(L, A @ N)
+    N = N - A.T @ mixed_posdef_solve(AAt, A @ N)
     N = _cholesky_qr2(N)
-    return AffineBasis(N=N, x_p=x_p, L_AAt=L)
+    return AffineBasis(N=N, x_p=x_p, AAt=AAt)
 
 
 def recover_equality_dual(basis: AffineBasis, A, g_full):
@@ -91,4 +91,4 @@ def recover_equality_dual(basis: AffineBasis, A, g_full):
     stationarity at the final iterate (full-space analogue:
     the v carried by the infeasible-start engine; reference dual recovery
     v* = v/t at LPSolver.py:641-646 — here computed in closed form)."""
-    return -chol_solve(basis.L_AAt, A @ g_full)
+    return -mixed_posdef_solve(basis.AAt, A @ g_full)
