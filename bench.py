@@ -1,16 +1,17 @@
-"""Headline benchmark: dense random LP, n=1000, reference benchmark recipe.
+"""Headline benchmark vs the reference's committed T4 numbers.
 
-Problem and solver settings mirror the reference benchmark exactly
-(reference: testSolver.py:75-146): A (m=0.8n × n), C (k=0.2n × n) uniform
-in [-2,2], b = A·x_feas, d = C·x_feas, bounds ±3, ε=1e-4, μ=15, t0=1,
-max_inner=20, max_outer=10, β=0.5, α=0.05.  Baseline: reference GPU
-(NVIDIA T4, float64 CuPy) mean 1.434 s at n=1000
-(BASELINE.md, testResults_jax_included_LP.csv).
+Default: dense random LP, n=1000, the reference benchmark recipe — prints
+ONE JSON line.  Other suites/sizes via --suite/--n.
+
+Problems and solver settings mirror the reference benchmark exactly
+(LP: testSolver.py:75-146; QP: :503-580; SOCP: :862-941;
+LASSO: :1096-1163).  Baselines: reference GPU (NVIDIA T4, float64 CuPy)
+means from the committed CSVs (BASELINE.md).
 
 Timing is steady-state (first solve warms the jit cache; XLA compilation is
-a one-time cost amortized across production solves).  Output: ONE JSON line.
+a one-time cost amortized across production solves).
 
-Usage: python bench.py  [--n N] [--reps R]
+Usage: python bench.py [--suite lp|qp|socp|lasso] [--n N] [--reps R]
 """
 
 import argparse
@@ -20,15 +21,105 @@ import time
 
 import numpy as np
 
+# reference GPU seconds by (suite, n) — BASELINE.md tables
 BASELINES = {
-    # reference GPU seconds by n (BASELINE.md, LP table)
-    100: 0.883, 500: 0.965, 1000: 1.434, 2000: 2.507, 3000: 4.400,
-    5000: 12.400,
+    "lp": {100: 0.883, 500: 0.965, 1000: 1.434, 2000: 2.507, 3000: 4.400,
+           5000: 12.400},
+    "qp": {100: 1.564, 500: 1.578, 1000: 2.304, 2000: 5.994, 5000: 40.307},
+    "socp": {100: 1.945, 1000: 0.217, 3000: 0.429, 5000: 0.924},
+    "lasso": {100: 0.243, 1000: 1.134, 2000: 2.149, 5000: 4.527},
 }
+
+
+def _timed_reps(solve_fn, reps):
+    solve_fn()  # warmup/compile
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        solve_fn()
+        times.append(time.time() - t0)
+    return float(np.mean(times)), times
+
+
+def bench_lp(n, reps, dtype):
+    from interiorpoint_tpu import LPSolver
+    from scipy.optimize import linprog
+
+    m, k = int(0.8 * n), int(0.2 * n)
+    np.random.seed(1)  # (reference: testSolver.py:32)
+    A = np.random.uniform(-2, 2, (m, n))
+    C = np.random.uniform(-2, 2, (k, n))
+    x_feas = np.random.uniform(-2, 2, n)
+    c = np.random.uniform(-2, 2, n)
+    b, d = A @ x_feas, C @ x_feas
+    solver = LPSolver(
+        c=c, A=A, b=b, C=C, d=d, lower_bound=-3, upper_bound=3,
+        suppress_print=True, check_cvxpy=False, epsilon=1e-4, mu=15, t0=1,
+        max_inner_iters=20, max_outer_iters=10, beta=0.5, alpha=0.05,
+        dtype=dtype)
+    mean_s, times = _timed_reps(solver.solve, reps)
+    val = solver.value
+    note = ""
+    if n <= 2000:
+        ref = linprog(c, A_ub=C, b_ub=d, A_eq=A, b_eq=b,
+                      bounds=[(-3, 3)] * n, method="highs")
+        note = f"rel err vs HiGHS {abs(val - ref.fun) / abs(ref.fun):.2e}"
+    return mean_s, times, val, note
+
+
+def bench_qp(n, reps, dtype):
+    from interiorpoint_tpu import QPSolver
+
+    m, k = int(0.8 * n), 20
+    np.random.seed(1)
+    Pp = np.random.uniform(-2, 2, (m, n))
+    P = Pp.T @ Pp + np.eye(n)
+    A = np.random.uniform(-2, 2, (m, n))
+    C = np.random.uniform(-2, 2, (k, n))
+    x_feas = np.random.uniform(-2, 2, n)
+    q = np.random.uniform(-2, 2, n)
+    solver = QPSolver(
+        P=P, q=q, A=A, b=A @ x_feas, C=C, d=C @ x_feas, lower_bound=-3,
+        upper_bound=3, suppress_print=True, check_cvxpy=False,
+        epsilon=1e-8, mu=15, t0=0.01, max_inner_iters=100,
+        max_outer_iters=10, beta=0.6, dtype=dtype)
+    mean_s, times = _timed_reps(solver.solve, reps)
+    return mean_s, times, solver.value, ""
+
+
+def bench_socp(n, reps, dtype):
+    from interiorpoint_tpu import SOCPSolver
+    from interiorpoint_tpu.utils.generators import generate_socp
+
+    np.random.seed(1)
+    p = generate_socp(n)
+    x0 = p.pop("x0")
+    solver = SOCPSolver(
+        **p, suppress_print=True, check_cvxpy=False, epsilon=1e-4, mu=15,
+        t0=0.1, max_inner_iters=500, max_outer_iters=10, beta=0.5,
+        alpha=0.05, x0=x0, dtype=dtype)
+    mean_s, times = _timed_reps(solver.solve, reps)
+    return mean_s, times, solver.value, ""
+
+
+def bench_lasso(n, reps, dtype):
+    from interiorpoint_tpu import LassoSolver
+    from interiorpoint_tpu.utils.generators import generate_lasso
+
+    np.random.seed(1)
+    p = generate_lasso(n)
+    solver = LassoSolver(
+        p["A"], p["b"], reg=p["reg"], rho=0.4, max_iters=5000,
+        check_stop=10, add_bias=True, eps_rel=1e-6, eps_abs=1e-6,
+        check_cvxpy=False, dtype=dtype)
+    mean_s, times = _timed_reps(solver.solve, reps)
+    return mean_s, times, float(np.mean(solver.solutions)), ""
 
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--suite", type=str, default="lp",
+                   choices=["lp", "qp", "socp", "lasso"])
     p.add_argument("--n", type=int, default=1000)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--dtype", type=str, default="float64")
@@ -38,52 +129,16 @@ def main():
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
 
-    from interiorpoint_tpu import LPSolver
+    fn = {"lp": bench_lp, "qp": bench_qp, "socp": bench_socp,
+          "lasso": bench_lasso}[args.suite]
+    mean_s, times, val, note = fn(args.n, args.reps, args.dtype)
 
-    n = args.n
-    m, k = int(0.8 * n), int(0.2 * n)
-    np.random.seed(1)  # (reference: testSolver.py:32)
-    A = np.random.uniform(-2, 2, (m, n))
-    C = np.random.uniform(-2, 2, (k, n))
-    x_feas = np.random.uniform(-2, 2, n)
-    c = np.random.uniform(-2, 2, n)
-    b = A @ x_feas
-    d = C @ x_feas
+    print(f"# {args.suite} n={args.n}: objective {val:.8f} {note}; "
+          f"times {['%.3f' % t for t in times]}", file=sys.stderr)
 
-    solver = LPSolver(
-        c=c, A=A, b=b, C=C, d=d, lower_bound=-3, upper_bound=3,
-        suppress_print=True, check_cvxpy=False,
-        epsilon=1e-4, mu=15, t0=1, max_inner_iters=20, max_outer_iters=10,
-        beta=0.5, alpha=0.05, dtype=args.dtype,
-    )
-
-    # warmup (compile)
-    t0 = time.time()
-    val = solver.solve()
-    warmup_s = time.time() - t0
-
-    times = []
-    for _ in range(args.reps):
-        t0 = time.time()
-        val = solver.solve()
-        times.append(time.time() - t0)
-    mean_s = float(np.mean(times))
-
-    # correctness cross-check (stderr only)
-    try:
-        from scipy.optimize import linprog
-        ref = linprog(c, A_ub=C, b_ub=d, A_eq=A, b_eq=b,
-                      bounds=[(-3, 3)] * n, method="highs")
-        rel_err = abs(val - ref.fun) / abs(ref.fun)
-        print(f"# objective {val:.8f} vs scipy {ref.fun:.8f} "
-              f"(rel err {rel_err:.2e}); warmup {warmup_s:.1f}s; "
-              f"times {['%.3f' % t for t in times]}", file=sys.stderr)
-    except Exception as e:  # pragma: no cover
-        print(f"# scipy check skipped: {e}", file=sys.stderr)
-
-    baseline = BASELINES.get(n)
+    baseline = BASELINES[args.suite].get(args.n)
     print(json.dumps({
-        "metric": f"lp_n{n}_solve_seconds",
+        "metric": f"{args.suite}_n{args.n}_solve_seconds",
         "value": round(mean_s, 4),
         "unit": "s",
         "vs_baseline": (round(baseline / mean_s, 3) if baseline else None),
