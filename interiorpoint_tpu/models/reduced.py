@@ -47,25 +47,32 @@ def _reduced_ineq_block(prob, N, x_p):
     return jnp.concatenate(rows, axis=0), jnp.concatenate(rhs)
 
 
+@jax.jit
+def _reduce_lp_core(prob, N, x_p):
+    C_z, d_z = _reduced_ineq_block(prob, N, x_p)
+    return LPProblem(c=N.T @ prob.c, C=C_z, d=d_z), prob.c @ x_p
+
+
 def reduce_lp(prob: LPProblem, seed: int = 0) -> ReducedForm:
     basis = affine_elimination(prob.A, prob.b, seed)
-    N, x_p = basis.N, basis.x_p
-    C_z, d_z = _reduced_ineq_block(prob, N, x_p)
-    prob_z = LPProblem(c=N.T @ prob.c, C=C_z, d=d_z)
-    return ReducedForm(prob=prob_z, basis=basis,
-                       obj_offset=prob.c @ x_p)
+    prob_z, offset = _reduce_lp_core(prob, basis.N, basis.x_p)
+    return ReducedForm(prob=prob_z, basis=basis, obj_offset=offset)
 
 
-def reduce_qp(prob: QPProblem, seed: int = 0) -> ReducedForm:
-    basis = affine_elimination(prob.A, prob.b, seed)
-    N, x_p = basis.N, basis.x_p
+@jax.jit
+def _reduce_qp_core(prob, N, x_p):
     C_z, d_z = _reduced_ineq_block(prob, N, x_p)
     Px_p = prob.P @ x_p
     q_z = N.T @ (Px_p if prob.q is None else Px_p + prob.q)
     offset = 0.5 * x_p @ Px_p
     if prob.q is not None:
         offset = offset + prob.q @ x_p
-    prob_z = QPProblem(P=N.T @ (prob.P @ N), q=q_z, C=C_z, d=d_z)
+    return QPProblem(P=N.T @ (prob.P @ N), q=q_z, C=C_z, d=d_z), offset
+
+
+def reduce_qp(prob: QPProblem, seed: int = 0) -> ReducedForm:
+    basis = affine_elimination(prob.A, prob.b, seed)
+    prob_z, offset = _reduce_qp_core(prob, basis.N, basis.x_p)
     return ReducedForm(prob=prob_z, basis=basis, obj_offset=offset)
 
 
@@ -78,7 +85,12 @@ def reduce_socp(prob: SOCPProblem, seed: int = 0) -> ReducedForm:
     if prob.lb is not None or prob.ub is not None:
         raise ValueError("reduced SOCP requires unbounded variables")
     basis = affine_elimination(prob.F, prob.g, seed)
-    N, x_p = basis.N, basis.x_p
+    prob_z, offset = _reduce_socp_core(prob, basis.N, basis.x_p)
+    return ReducedForm(prob=prob_z, basis=basis, obj_offset=offset)
+
+
+@jax.jit
+def _reduce_socp_core(prob, N, x_p):
     A_z = jnp.einsum("kmn,nr->kmr", prob.A, N)
     b_z = jnp.einsum("kmn,n->km", prob.A, x_p) + prob.b
     c_z = prob.c @ N
@@ -95,5 +107,4 @@ def reduce_socp(prob: SOCPProblem, seed: int = 0) -> ReducedForm:
     elif prob.q is not None:
         q_z = N.T @ prob.q
         offset = offset + prob.q @ x_p
-    prob_z = SOCPProblem(A=A_z, b=b_z, c=c_z, d=d_z, P=P_z, q=q_z)
-    return ReducedForm(prob=prob_z, basis=basis, obj_offset=offset)
+    return SOCPProblem(A=A_z, b=b_z, c=c_z, d=d_z, P=P_z, q=q_z), offset

@@ -35,6 +35,20 @@ import jax.numpy as jnp
 from .kkt import chol_solve, mixed_posdef_solve, robust_cholesky
 
 
+@jax.jit
+def _elimination_core(A, b, G):
+    """Jitted body of affine_elimination: one compiled program instead of
+    ~20 eagerly-dispatched ops (each eager op pays a separate remote
+    compile on the axon TPU path)."""
+    AAt = A @ A.T
+    x_p = A.T @ mixed_posdef_solve(AAt, b)
+    N0 = G - A.T @ mixed_posdef_solve(AAt, A @ G)
+    N = _cholesky_qr2(N0)
+    N = N - A.T @ mixed_posdef_solve(AAt, A @ N)
+    N = _cholesky_qr2(N)
+    return N, x_p, AAt
+
+
 class AffineBasis(NamedTuple):
     """x = x_p + N z parameterization of {x : Ax = b}."""
     N: jax.Array       # (n, r) orthonormal null-space basis of A
@@ -68,21 +82,12 @@ def affine_elimination(A, b, seed: int = 0) -> AffineBasis:
     if r <= 0:
         raise ValueError("null-space elimination requires m < n")
 
-    AAt = A @ A.T
-    x_p = A.T @ mixed_posdef_solve(AAt, b)
-
-    # Project a deterministic Gaussian block onto null(A), then
-    # orthonormalize.  Host-side RNG: this runs eagerly at problem-setup
-    # time (the analogue of the reference's construction-time work,
-    # LPSolver.py:158-224).
+    # Deterministic Gaussian block from host RNG; the projection,
+    # CholeskyQR² orthonormalization, and re-projection run as one jitted
+    # program (see _elimination_core).
     G = jnp.asarray(
         np.random.default_rng(seed).standard_normal((n, r)), dtype=A.dtype)
-    N0 = G - A.T @ mixed_posdef_solve(AAt, A @ G)
-    N = _cholesky_qr2(N0)
-    # One re-projection kills the O(eps·κ) leakage reintroduced by the
-    # orthonormalization, then a final cheap re-orthonormalization.
-    N = N - A.T @ mixed_posdef_solve(AAt, A @ N)
-    N = _cholesky_qr2(N)
+    N, x_p, AAt = _elimination_core(A, b, G)
     return AffineBasis(N=N, x_p=x_p, AAt=AAt)
 
 
