@@ -37,6 +37,24 @@ def synthesize_x0(lb, ub, n, rng=None):
     return rng.rand(n)
 
 
+@jax.jit
+def _ls_interior_init(prob):
+    """Least-squares interior warm start for a reduced (inequality-only)
+    problem: z aiming at uniform slack margin 1, z = argmin‖Cz − (d−1)‖².
+    When the result is strictly feasible, phase one is skipped entirely
+    (the phase-one gate s ≥ 1 ⇔ min slack ≤ 0 then never trips;
+    reference gating: LPSolver.py:546).  New capability — the reference
+    always synthesizes x0 from the bounds (LPSolver.py:131-143)."""
+    from ..ops.kkt import mixed_posdef_solve
+
+    C, d = prob.C, prob.d
+    r = C.shape[1]
+    G = C.T @ C
+    G = G + (1e-8 * jnp.trace(G) / r) * jnp.eye(r, dtype=G.dtype)
+    z = mixed_posdef_solve(G, C.T @ (d - 1.0))
+    return z, jnp.min(d - C @ z)
+
+
 @partial(jax.jit, static_argnames=("cfg", "oracle_fn", "p1_oracle_fn",
                                    "num_constraints", "eq_gate"))
 def _barrier_core(prob, A, b, x0, t0, cfg, oracle_fn, p1_oracle_fn,
@@ -180,6 +198,13 @@ class BarrierDriver:
         if self._reduced is not None:
             rf = self._reduced
             z0 = rf.basis.N.T @ (jnp.asarray(x0, dtype=dtype) - rf.basis.x_p)
+            # Least-squares interior warm start (skips phase one when it
+            # lands strictly feasible); only when the user did not supply
+            # x0, and only for problems with a linear inequality block.
+            if "x0" not in kwargs and getattr(rf.prob, "C", None) is not None:
+                z_try, min_slack = _ls_interior_init(rf.prob)
+                if float(min_slack) > 1e-6:
+                    z0 = z_try
             res = _barrier_core(
                 rf.prob, None, None, z0, jnp.asarray(t0, dtype=dtype),
                 cfg, self._oracle_fn_z, self._p1_oracle_fn_z,
