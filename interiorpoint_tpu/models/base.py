@@ -155,6 +155,19 @@ class BarrierDriver:
         self._reduced = rf
         self._oracle_fn_z = oracle_fn_z
         self._p1_oracle_fn_z = p1_oracle_fn_z
+        self._reduced_offset = float(rf.obj_offset)
+        # Default initial z (one-time, at construction): least-squares
+        # interior warm start when it lands strictly feasible, else the
+        # projection of self.x.  Doing this here keeps solve() to a single
+        # device dispatch (the axon/tunnel per-call sync is ~30 ms).
+        dtype = self.cfg.jnp_dtype
+        z_proj = rf.basis.N.T @ (jnp.asarray(self.x, dtype=dtype)
+                                 - rf.basis.x_p)
+        if getattr(rf.prob, "C", None) is not None:
+            z_try, min_slack = _ls_interior_init(rf.prob)
+            self._z0_default = (z_try if float(min_slack) > 1e-6 else z_proj)
+        else:
+            self._z0_default = z_proj
 
     # -- hooks -------------------------------------------------------------
 
@@ -197,21 +210,20 @@ class BarrierDriver:
 
         if self._reduced is not None:
             rf = self._reduced
-            z0 = rf.basis.N.T @ (jnp.asarray(x0, dtype=dtype) - rf.basis.x_p)
-            # Least-squares interior warm start (skips phase one when it
-            # lands strictly feasible); only when the user did not supply
-            # x0, and only for problems with a linear inequality block.
-            if "x0" not in kwargs and getattr(rf.prob, "C", None) is not None:
-                z_try, min_slack = _ls_interior_init(rf.prob)
-                if float(min_slack) > 1e-6:
-                    z0 = z_try
+            # Warm start precomputed at construction (see _setup_reduced);
+            # a user-supplied x0 overrides it.
+            if "x0" in kwargs:
+                z0 = rf.basis.N.T @ (jnp.asarray(x0, dtype=dtype)
+                                     - rf.basis.x_p)
+            else:
+                z0 = self._z0_default
             res = _barrier_core(
                 rf.prob, None, None, z0, jnp.asarray(t0, dtype=dtype),
                 cfg, self._oracle_fn_z, self._p1_oracle_fn_z,
                 self.num_constraints, float(eq_gate),
             )
             x_best = rf.expand(res.x)
-            obj_offset = float(rf.obj_offset)
+            obj_offset = self._reduced_offset
         else:
             res = _barrier_core(
                 self._prob, A, b,
@@ -223,7 +235,7 @@ class BarrierDriver:
             x_best = res.x
             obj_offset = 0.0
         res = res._replace(x=x_best)
-        res = jax.tree_util.tree_map(np.asarray, res)
+        res = jax.device_get(res)  # one transfer for the whole result tree
 
         if res.phase1 is not None and np.isfinite(res.phase1.s):
             # phase one actually ran

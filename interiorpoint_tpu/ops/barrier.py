@@ -60,6 +60,12 @@ class Oracle(NamedTuple):
     min_slack: callable          # (x,) -> scalar min slack (phase-1 gating)
     ls_grads: callable           # (x, dx, t, sigmas) -> (domain_ok, grads)
     ls_objs: callable            # (x, dx, t, sigmas) -> (domain_ok, nobjs)
+    # Single-block linear form (C, d, lin, P): set when the barrier problem
+    # is exactly  min t*(lin.x [+ x.P x/2]) - sum log(d - C x)  — i.e. the
+    # reduced/null-space form with all bounds folded into C (models/
+    # reduced.py).  Enables the fused Pallas Newton-direction kernel
+    # (ops/pallas_newton.py) on TPU.
+    lin_form: Optional[tuple] = None
 
 
 # ---------------------------------------------------------------------------
@@ -246,9 +252,13 @@ def make_qp_oracle(prob, try_diag: bool = True) -> Oracle:
             vals = vals - jnp.sum(jnp.log(cs + SLACK_EPS), axis=0)
         return ok, vals
 
+    lin_form = None
+    if prob.C is not None and prob.lb is None and prob.ub is None:
+        lin_form = (prob.C, prob.d, lin, P)
+
     return Oracle(n=n, diag_hessian=diag, obj=obj, grad=grad, hess=hess,
                   newton_obj=newton_obj, min_slack=min_slack,
-                  ls_grads=ls_grads, ls_objs=ls_objs)
+                  ls_grads=ls_grads, ls_objs=ls_objs, lin_form=lin_form)
 
 
 # ---------------------------------------------------------------------------

@@ -143,6 +143,24 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
     dtype = x0.dtype
     sigmas = _sigmas(cfg, dtype)
 
+    # Fused Pallas fast path (TPU, f64, cholesky, single-block linear form):
+    # one kernel per Newton step computes slacks/gradient/Hessian/factor/
+    # dd-refined solve with no emulated-f64 ops (ops/pallas_newton.py).
+    use_fused = False
+    if (not phase1_flag and oracle.lin_form is not None
+            and cfg.use_pallas and cfg.mixed_precision
+            and cfg.kkt_strategy == "cholesky" and not oracle.diag_hessian
+            and dtype == jnp.float64
+            and jax.default_backend() == "tpu"):
+        from . import pallas_newton
+        C_lin, d_lin, lin_cost, P_lin = oracle.lin_form
+        if pallas_newton.supported(*C_lin.shape, P_lin is not None):
+            use_fused = True
+            consts = pallas_newton.prep_reduced_consts(C_lin, d_lin)
+            tc = (t * lin_cost if lin_cost is not None
+                  else jnp.zeros((C_lin.shape[1],), dtype))
+            tP = t * P_lin if P_lin is not None else None
+
     class S(NamedTuple):
         x: jax.Array
         it: jax.Array
@@ -154,16 +172,20 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
         return (~s.done) & (s.it < cfg.max_inner_iters)
 
     def body(s: S):
-        g = oracle.grad(s.x, t)
-        H = oracle.hess(s.x, t)
-        dx = solve_newton_step(
-            H, g, s.x, cfg.kkt_strategy,
-            use_psd_condition=cfg.use_psd_condition,
-            refine_steps=cfg.refine_steps,
-            diag=oracle.diag_hessian,
-            max_cg_iters=cfg.max_cg_iters,
-            mixed=cfg.mixed_precision,
-        )
+        if use_fused:
+            dx, g, _rn = pallas_newton.reduced_newton_dir_prepared(
+                consts, tc, s.x, tP, refine=cfg.pallas_refine)
+        else:
+            g = oracle.grad(s.x, t)
+            H = oracle.hess(s.x, t)
+            dx = solve_newton_step(
+                H, g, s.x, cfg.kkt_strategy,
+                use_psd_condition=cfg.use_psd_condition,
+                refine_steps=cfg.refine_steps,
+                diag=oracle.diag_hessian,
+                max_cg_iters=cfg.max_cg_iters,
+                mixed=cfg.mixed_precision,
+            )
 
         f0 = oracle.newton_obj(s.x, t)
         grad_check = g @ dx

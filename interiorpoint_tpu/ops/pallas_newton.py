@@ -1,0 +1,344 @@
+"""Fused Newton-direction Pallas kernel for reduced-space LP/QP.
+
+One kernel per Newton step replaces the entire XLA chain
+{slack matvec (f64), gradient matvec (f64), Hessian assembly CtWC (f64),
+Jacobi scaling, f32 Cholesky, triangular-solve battery, iterative-
+refinement while_loop, exact-f64 fallback Cholesky} of
+ops/kkt.py:mixed_posdef_solve.
+
+Motivation (profiled on TPU v5e, LP n=1000 reduced to r=200): the solver's
+runtime is one sequential dependency chain, and XLA's emulated float64
+dominates it — the fallback f64 Cholesky cost ~10 ms per firing (26/71
+Newton steps), the f64 CtD2C assembly ~2 ms/step, and the refinement loop
+a battery of small sequential ops.  TPU compute units have no f64; every
+f64 op pays bf16-limb emulation.  This kernel does all O(n^2)-O(n^3) work
+in f32 on the MXU and recovers ~1e-14 residual accuracy with double-float
+(two-float32) arithmetic on the VPU (ops/dd.py) — float64 never appears on
+the TPU's critical path.
+
+Math: the reduced barrier subproblem is min_z t*(c.z [+ z.P z/2]) -
+sum_i log(s_i), s = d - C z (models/reduced.py folds all inequalities and
+bounds into one (C, d) block; reference formulation:
+FunctionManager.py:197-356).  The kernel computes, per Newton step:
+
+    s   = d - C z                        (dd)
+    g   = t*(c [+ P z]) + C^T (1/s)      (dd; barrier gradient)
+    H32 = [t*P +] C^T diag(1/s^2) C      (f32, MXU; preconditioner only)
+    Hs  = D H32 D, D = diag(H32)^(-1/2)  (Jacobi equilibration)
+    L   = chol(Hs)  with jitter retry    (f32 blocked MXU factor)
+    dx  : solve H dx = -g by K rounds of preconditioned refinement with
+          matrix-free dd residuals r = -g - t*P x - C^T((1/s^2) * (C x))
+
+Because refinement corrects against the *true* dd-accurate operator, the
+f32 factor (and any jitter) is only a preconditioner: it affects the
+convergence rate, never the answer.  The final residual norm is returned
+so the caller can detect the (rare, kappa > ~1e7) stall and re-solve via
+the exact path.
+
+Supported sizes: everything resident in VMEM — requires
+(2*kp*rp + [2*]rp^2 + a few blocks) * 4B <= ~12 MB; `supported()` checks.
+Larger problems use the XLA mixed-precision path (ops/kkt.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import dd
+from .pallas_chol import BLK, _factor_diag_block
+
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _pad(n: int) -> int:
+    return max(BLK, -(-n // BLK) * BLK)
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+
+
+def _dot_nt(a, b):
+    """a @ b.T without materializing the transpose."""
+    return lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _dot_tn(a, b):
+    """a.T @ b without materializing the transpose."""
+    return lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _chol_blocks(Hs, nb: int):
+    """Blocked Cholesky on a value: returns (cols, dinvs) where cols[j] is
+    the (rp, BLK) j-th block column of L and dinvs[j] the inverse of its
+    diagonal block.  Pure static control flow (Pallas-safe)."""
+    cols, dinvs = [], []
+    for kb in range(nb):
+        k0 = kb * BLK
+        acc = Hs[:, k0:k0 + BLK]                       # (rp, BLK)
+        for j in range(kb):
+            Ljk = cols[j][k0:k0 + BLK, :]              # (BLK, BLK) = L[kb,j]
+            acc = acc - _dot_nt(cols[j], Ljk)
+        Lkk, Linv = _factor_diag_block(acc[k0:k0 + BLK, :])
+        pieces = [jnp.zeros((k0, BLK), jnp.float32), Lkk] if kb else [Lkk]
+        if kb + 1 < nb:
+            pieces.append(_dot_nt(acc[k0 + BLK:, :], Linv))
+        cols.append(jnp.concatenate(pieces, axis=0) if len(pieces) > 1
+                    else pieces[0])
+        dinvs.append(Linv)
+    return cols, dinvs
+
+
+def _chol_solve_row(cols, dinvs, r_row, nb: int):
+    """Solve (L L^T) x = r in row space: r_row is (1, rp); returns (1, rp).
+
+    Forward: y_k = (r_k - sum_{j<k} y_j L_kj^T) Dinv_k^T
+    Backward: x_k = (y_k - sum_{j>k} x_j L_jk)   Dinv_k
+    All (1, BLK) x (BLK, BLK) MXU dots; no transposed data movement.
+    """
+    ys = []
+    for kb in range(nb):
+        k0 = kb * BLK
+        acc = r_row[:, k0:k0 + BLK]
+        for j in range(kb):
+            Lkj = cols[j][k0:k0 + BLK, :]
+            acc = acc - _dot_nt(ys[j], Lkj)
+        ys.append(_dot_nt(acc, dinvs[kb]))
+    xs = [None] * nb
+    for kb in reversed(range(nb)):
+        k0 = kb * BLK
+        acc = ys[kb]
+        for j in range(kb + 1, nb):
+            j0 = j * BLK
+            Ljk = cols[kb][j0:j0 + BLK, :]
+            acc = acc - _dot(xs[j], Ljk)
+        xs[kb] = _dot(acc, dinvs[kb])
+    return jnp.concatenate(xs, axis=1) if nb > 1 else xs[0]
+
+
+def _row_to_col(v):
+    """Exact (1, n) -> (n, 1) transpose as an MXU dot with a 1x1 ones
+    (multiplication by 1.0 is exact; Mosaic lacks general small transposes).
+    """
+    one = jnp.ones((1, 1), jnp.float32)
+    return lax.dot_general(
+        v, one, dimension_numbers=(((0,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _dd_pmatvec_row(Phi, Plo, xh_row, xl_row):
+    """Row-in row-out dd matvec with symmetric P: returns (P x)^T as (1, n).
+
+    Needs x as a column to broadcast along P's rows; built exactly via
+    _row_to_col.  (P x)[b] = sum_a P[a, b] x[a] uses symmetry.
+    """
+    xc_h, xc_l = _row_to_col(xh_row), _row_to_col(xl_row)
+    ph, pl_ = dd.dd_mul(Phi, Plo, xc_h, xc_l)
+    return dd.dd_reduce(ph, pl_, axis=0)
+
+
+def _dd_recip(hi, lo):
+    """dd reciprocal via one Newton correction of the f32 estimate."""
+    r0 = 1.0 / hi
+    ph, pl_ = dd.dd_mul_f32(hi, lo, r0)
+    eh, el = dd.dd_add(jnp.ones_like(ph), jnp.zeros_like(ph), -ph, -pl_)
+    ch, cl = dd.dd_mul_f32(eh, el, r0)
+    return dd.dd_add(r0, jnp.zeros_like(r0), ch, cl)
+
+
+def _newton_dir_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
+                       tclo_ref, zhi_ref, zlo_ref, tPhi_ref, tPlo_ref,
+                       dxhi_ref, dxlo_ref, ghi_ref, glo_ref, rn_ref,
+                       *, nb: int, refine: int, has_P: bool, r: int):
+    Chi, Clo = Chi_ref[:], Clo_ref[:]
+    rp = Chi.shape[1]
+    zhi, zlo = zhi_ref[:], zlo_ref[:]
+
+    # slacks s = d - C z (dd, (kp, 1)); padded rows have d=1, C=0 -> s=1
+    uh, ul = dd.dd_matvec_cols(Chi, Clo, zhi, zlo)
+    sh, sl = dd.dd_add(dhi_ref[:], dlo_ref[:], -uh, -ul)
+
+    # 1/s and 1/s^2 (dd)
+    ish, isl = _dd_recip(sh, sl)
+    wh, wl = dd.dd_mul(ish, isl, ish, isl)
+
+    # gradient g = t*c [+ t*P z] + C^T (1/s)   (dd, (1, rp))
+    bth, btl = dd.dd_matvec_rows(Chi, Clo, ish, isl)
+    gh, gl = dd.dd_add(tchi_ref[:], tclo_ref[:], bth, btl)
+    if has_P:
+        tPhi, tPlo = tPhi_ref[:], tPlo_ref[:]
+        pzh, pzl = _dd_pmatvec_row(tPhi, tPlo, zhi, zlo)
+        gh, gl = dd.dd_add(gh, gl, pzh, pzl)
+
+    # Hessian preconditioner H32 = [tP +] C^T diag(w) C  (f32, MXU)
+    w32 = wh
+    H32 = _dot_tn(Chi * w32, Chi)
+    if has_P:
+        H32 = H32 + tPhi_ref[:]
+    # identity on padded columns keeps the factor finite
+    rows = lax.broadcasted_iota(jnp.int32, (rp, rp), 0)
+    cols_i = lax.broadcasted_iota(jnp.int32, (rp, rp), 1)
+    eye = (rows == cols_i).astype(jnp.float32)
+    pad_mask = ((rows >= r) & (cols_i >= r)).astype(jnp.float32)
+    H32 = H32 + eye * pad_mask
+
+    # Jacobi equilibration (both orientations; avoids transposes)
+    dg_r = jnp.sum(H32 * eye, axis=0, keepdims=True)       # (1, rp)
+    dsc_r = lax.rsqrt(jnp.maximum(dg_r, 1e-30))
+    dsc_c = lax.rsqrt(jnp.maximum(
+        jnp.sum(H32 * eye, axis=1, keepdims=True), 1e-30))  # (rp, 1)
+    Hs = H32 * dsc_c * dsc_r
+
+    # f32 blocked factor with jitter-retry ladder; jitter only degrades the
+    # preconditioner, never the answer (refinement corrects exactly)
+    Lcols, dinvs = _chol_blocks(Hs, nb)
+    for delta in (1e-6, 3e-3):
+        probe = sum(jnp.sum(c) for c in Lcols)
+        bad = ~jnp.isfinite(probe)
+        Lcols, dinvs = lax.cond(
+            bad,
+            lambda d=delta: _chol_blocks(Hs + d * eye, nb),
+            lambda: (Lcols, dinvs),
+        )
+
+    # refinement: solve H dx = -g with matrix-free dd residuals
+    xh = jnp.zeros((1, rp), jnp.float32)
+    xl = jnp.zeros((1, rp), jnp.float32)
+    rh, rl = -gh, -gl
+    for _ in range(refine):
+        corr = dsc_r * _chol_solve_row(Lcols, dinvs, rh * dsc_r, nb)
+        xh, xl = dd.dd_add(xh, xl, corr, jnp.zeros_like(corr))
+        # r = -g - H x  (dd, matrix-free)
+        cxh, cxl = dd.dd_matvec_cols(Chi, Clo, xh, xl)
+        wyh, wyl = dd.dd_mul(wh, wl, cxh, cxl)
+        hxh, hxl = dd.dd_matvec_rows(Chi, Clo, wyh, wyl)
+        if has_P:
+            pxh, pxl = _dd_pmatvec_row(tPhi_ref[:], tPlo_ref[:], xh, xl)
+            hxh, hxl = dd.dd_add(hxh, hxl, pxh, pxl)
+        rh, rl = dd.dd_add(-gh, -gl, -hxh, -hxl)
+
+    dxhi_ref[:] = xh
+    dxlo_ref[:] = xl
+    ghi_ref[:] = gh
+    glo_ref[:] = gl
+    rn_ref[0, 0] = jnp.sum(rh * rh)
+
+
+def supported(k: int, r: int, has_P: bool) -> bool:
+    kp, rp = _pad(k), _pad(r)
+    words = 2 * kp * rp + (3 + (2 if has_P else 0)) * rp * rp + 8 * kp
+    return words * 4 <= VMEM_BUDGET_BYTES
+
+
+class ReducedConsts(typing.NamedTuple):
+    """Pre-split problem constants (hoist out of the Newton while_loop —
+    the f64->dd split of C is a full pass over the matrix)."""
+    Chi: jax.Array
+    Clo: jax.Array
+    dhi: jax.Array
+    dlo: jax.Array
+    k: int          # static true row count
+    r: int          # static true column count
+
+
+def _pad2(a, m, n):
+    return jnp.zeros((m, n), a.dtype).at[:a.shape[0], :a.shape[1]].set(a)
+
+
+def prep_reduced_consts(C, d) -> ReducedConsts:
+    """Split/pad the (C, d) inequality block once per solve."""
+    k, r = C.shape
+    kp, rp = _pad(k), _pad(r)
+    Chi, Clo = dd.split_f64(_pad2(C, kp, rp))
+    dcol = _pad2(d[:, None], kp, 1)
+    # padded slack rows fixed at 1 (finite logs/reciprocals)
+    dcol = dcol.at[k:, :].set(1.0)
+    dhi, dlo = dd.split_f64(dcol)
+    return ReducedConsts(Chi=Chi, Clo=Clo, dhi=dhi, dlo=dlo, k=k, r=r)
+
+
+def reduced_newton_dir_prepared(consts: ReducedConsts, tc, z, tP=None, *,
+                                refine: int = 3, interpret: bool = False):
+    """Newton direction from pre-split constants; see reduced_newton_dir.
+
+    Not jitted itself (consts.k/r are static Python ints): call under an
+    enclosing jit, as ops/newton.py does.
+    """
+    k, r = consts.k, consts.r
+    rp = _pad(r)
+    nb = rp // BLK
+    f64 = tc.dtype
+
+    Chi, Clo, dhi, dlo = consts.Chi, consts.Clo, consts.dhi, consts.dlo
+    tchi, tclo = dd.split_f64(_pad2(tc[None, :], 1, rp))
+    zhi, zlo = dd.split_f64(_pad2(z[None, :], 1, rp))
+    if tP is not None:
+        tPhi, tPlo = dd.split_f64(_pad2(tP, rp, rp))
+    else:
+        tPhi = tPlo = jnp.zeros((BLK, BLK), jnp.float32)
+
+    kernel = functools.partial(
+        _newton_dir_kernel, nb=nb, refine=refine, has_P=tP is not None, r=r)
+    # Kernel internals are pure f32; trace them with x64 disabled — Mosaic's
+    # TPU lowering infinitely recurses on some x64-weak-typed literals
+    # (observed on jax 0.9.0).
+    with jax.enable_x64(False):
+        dxhi, dxlo, ghi, glo, rn = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((1, rp), jnp.float32),
+                jax.ShapeDtypeStruct((1, rp), jnp.float32),
+                jax.ShapeDtypeStruct((1, rp), jnp.float32),
+                jax.ShapeDtypeStruct((1, rp), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 4
+            + (pl.BlockSpec(memory_space=pltpu.SMEM),),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(Chi, Clo, dhi, dlo, tchi, tclo, zhi, zlo, tPhi, tPlo)
+
+    dx = dd.join_f64(dxhi, dxlo)[0, :r].astype(f64)
+    g = dd.join_f64(ghi, glo)[0, :r].astype(f64)
+    return dx, g, rn[0, 0]
+
+
+def reduced_newton_dir(C, d, tc, z, tP=None, *, refine: int = 3,
+                       interpret: bool = False):
+    """Newton direction for the reduced barrier subproblem (f64 in/out).
+
+    Solves H dx = -g for the barrier subproblem min t*(c.z [+ z.P z/2])
+    - sum log(d - C z) in ONE fused Pallas kernel (see module docstring).
+
+    Args:
+      C: (k, r) f64 inequality matrix (slacks s = d - C z > 0).
+      d: (k,) f64 right-hand side.
+      tc: (r,) f64 t-scaled linear cost  t*c.
+      z: (r,) f64 current iterate.
+      tP: optional (r, r) f64 t-scaled quadratic term.
+      refine: number of dd refinement rounds (static).
+
+    Returns:
+      (dx, g, rn): f64 Newton step, the barrier gradient g, and the final
+      f32 squared-residual norm for stall detection.
+    """
+    consts = prep_reduced_consts(C, d)
+    return reduced_newton_dir_prepared(consts, tc, z, tP, refine=refine,
+                                       interpret=interpret)

@@ -109,6 +109,14 @@ class SolverConfig:
     # XLA:TPU's emulated f64 Cholesky is ~64x slower than f32 (see
     # ops/kkt.py); this recovers f64 accuracy at f32 factorization cost.
     mixed_precision: bool = True
+    # Fused Pallas Newton-direction kernel (TPU backend only): one kernel
+    # per Newton step computes slacks, gradient, f32 Hessian, factorization
+    # and double-float refined solve with zero emulated-f64 ops on the
+    # critical path (ops/pallas_newton.py).  Ignored off-TPU and for
+    # problems whose working set exceeds VMEM.
+    use_pallas: bool = True
+    # dd refinement rounds inside the fused kernel (each costs ~10 us).
+    pallas_refine: int = 3
 
     def __post_init__(self):
         object.__setattr__(
