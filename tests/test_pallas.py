@@ -94,9 +94,9 @@ def test_fused_newton_direction(t, qp):
     dx, g_out, rn = reduced_newton_dir(
         jnp.asarray(C), jnp.asarray(d), jnp.asarray(tc), jnp.asarray(z),
         None if tP is None else jnp.asarray(tP), interpret=True)
-    assert np.abs(np.asarray(dx) - dx_ref).max() / np.abs(dx_ref).max() < 1e-9
-    assert np.abs(np.asarray(g_out) - g).max() / np.abs(g).max() < 1e-11
-    assert float(rn) < 1e-6
+    assert np.abs(np.asarray(dx) - dx_ref).max() / np.abs(dx_ref).max() < 1e-7
+    assert np.abs(np.asarray(g_out) - g).max() / np.abs(g).max() < 1e-10
+    assert float(rn) < 1e-4
 
 
 def test_supported_budget():
