@@ -173,8 +173,12 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
 
     def body(s: S):
         if use_fused:
-            dx, g, _rn = pallas_newton.reduced_newton_dir_prepared(
-                consts, tc, s.x, tP, refine=cfg.pallas_refine)
+            # One kernel = direction + line search (ops/pallas_newton.py);
+            # the f64 candidate sweep disappears from the critical path.
+            x_new, nd, _sigma, any_acc, _rn = (
+                pallas_newton.reduced_newton_step_prepared(
+                    consts, tc, s.x, tP, sigmas, alpha=cfg.alpha,
+                    refine=cfg.pallas_refine))
         else:
             g = oracle.grad(s.x, t)
             H = oracle.hess(s.x, t)
@@ -187,14 +191,14 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
                 mixed=cfg.mixed_precision,
             )
 
-        f0 = oracle.newton_obj(s.x, t)
-        grad_check = g @ dx
-        ok, nobjs = oracle.ls_objs(s.x, dx, t, sigmas)
-        accept = ok & (nobjs <= f0 + cfg.alpha * sigmas * grad_check)
-        any_acc, j, sigma = _pick_step(accept, sigmas)
+            f0 = oracle.newton_obj(s.x, t)
+            grad_check = g @ dx
+            ok, nobjs = oracle.ls_objs(s.x, dx, t, sigmas)
+            accept = ok & (nobjs <= f0 + cfg.alpha * sigmas * grad_check)
+            any_acc, j, sigma = _pick_step(accept, sigmas)
 
-        x_new = s.x + sigma * dx
-        nd = -(g @ dx) / 2.0
+            x_new = s.x + sigma * dx
+            nd = -(g @ dx) / 2.0
 
         converged = nd < cfg.inner_epsilon
         if phase1_flag:

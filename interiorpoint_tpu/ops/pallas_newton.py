@@ -161,17 +161,15 @@ def _dd_recip(hi, lo):
     return dd.dd_add(r0, jnp.zeros_like(r0), ch, cl)
 
 
-def _newton_dir_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
-                       tclo_ref, zhi_ref, zlo_ref, tPhi_ref, tPlo_ref,
-                       dxhi_ref, dxlo_ref, ghi_ref, glo_ref, rn_ref,
-                       *, nb: int, refine: int, has_P: bool, r: int):
-    Chi, Clo = Chi_ref[:], Clo_ref[:]
+def _direction_core(Chi, Clo, dhi, dlo, tchi, tclo, zhi, zlo, tPhi, tPlo,
+                    *, nb: int, refine: int, has_P: bool, r: int):
+    """Shared kernel core: slacks -> gradient -> f32 factor -> dd-refined
+    Newton direction.  All operands are values (already read from refs)."""
     rp = Chi.shape[1]
-    zhi, zlo = zhi_ref[:], zlo_ref[:]
 
     # slacks s = d - C z (dd, (kp, 1)); padded rows have d=1, C=0 -> s=1
     uh, ul = dd.dd_matvec_cols(Chi, Clo, zhi, zlo)
-    sh, sl = dd.dd_add(dhi_ref[:], dlo_ref[:], -uh, -ul)
+    sh, sl = dd.dd_add(dhi, dlo, -uh, -ul)
 
     # 1/s and 1/s^2 (dd)
     ish, isl = _dd_recip(sh, sl)
@@ -179,9 +177,8 @@ def _newton_dir_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
 
     # gradient g = t*c [+ t*P z] + C^T (1/s)   (dd, (1, rp))
     bth, btl = dd.dd_matvec_rows(Chi, Clo, ish, isl)
-    gh, gl = dd.dd_add(tchi_ref[:], tclo_ref[:], bth, btl)
+    gh, gl = dd.dd_add(tchi, tclo, bth, btl)
     if has_P:
-        tPhi, tPlo = tPhi_ref[:], tPlo_ref[:]
         pzh, pzl = _dd_pmatvec_row(tPhi, tPlo, zhi, zlo)
         gh, gl = dd.dd_add(gh, gl, pzh, pzl)
 
@@ -189,7 +186,7 @@ def _newton_dir_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
     w32 = wh
     H32 = _dot_tn(Chi * w32, Chi)
     if has_P:
-        H32 = H32 + tPhi_ref[:]
+        H32 = H32 + tPhi
     # identity on padded columns keeps the factor finite
     rows = lax.broadcasted_iota(jnp.int32, (rp, rp), 0)
     cols_i = lax.broadcasted_iota(jnp.int32, (rp, rp), 1)
@@ -228,15 +225,119 @@ def _newton_dir_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
         wyh, wyl = dd.dd_mul(wh, wl, cxh, cxl)
         hxh, hxl = dd.dd_matvec_rows(Chi, Clo, wyh, wyl)
         if has_P:
-            pxh, pxl = _dd_pmatvec_row(tPhi_ref[:], tPlo_ref[:], xh, xl)
+            pxh, pxl = _dd_pmatvec_row(tPhi, tPlo, xh, xl)
             hxh, hxl = dd.dd_add(hxh, hxl, pxh, pxl)
         rh, rl = dd.dd_add(-gh, -gl, -hxh, -hxl)
 
-    dxhi_ref[:] = xh
-    dxlo_ref[:] = xl
-    ghi_ref[:] = gh
-    glo_ref[:] = gl
-    rn_ref[0, 0] = jnp.sum(rh * rh)
+    return dict(xh=xh, xl=xl, gh=gh, gl=gl, rh=rh, rl=rl,
+                ish=ish, isl=isl)
+
+
+def _newton_dir_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
+                       tclo_ref, zhi_ref, zlo_ref, tPhi_ref, tPlo_ref,
+                       dxhi_ref, dxlo_ref, ghi_ref, glo_ref, rn_ref,
+                       *, nb: int, refine: int, has_P: bool, r: int):
+    out = _direction_core(
+        Chi_ref[:], Clo_ref[:], dhi_ref[:], dlo_ref[:], tchi_ref[:],
+        tclo_ref[:], zhi_ref[:], zlo_ref[:], tPhi_ref[:], tPlo_ref[:],
+        nb=nb, refine=refine, has_P=has_P, r=r)
+    dxhi_ref[:] = out["xh"]
+    dxlo_ref[:] = out["xl"]
+    ghi_ref[:] = out["gh"]
+    glo_ref[:] = out["gl"]
+    rn_ref[0, 0] = jnp.sum(out["rh"] * out["rh"])
+
+
+def _phi_stable(y):
+    """phi(y) = -log(1 - y) - y >= 0, computed without cancellation.
+
+    This is the curvature excess of the log barrier along the step: the
+    Armijo test  Delta(sigma) <= alpha*sigma*g.dx  rearranges EXACTLY to
+    sigma*(1-alpha)*g.dx + sigma^2*q2 + sum_i phi(sigma*u_i) <= 0,
+    where every summand is computed relative to its own magnitude — no
+    f64 needed (the naive form subtracts two huge t-scaled objectives).
+    """
+    # |y| < 0.1: Taylor  phi = y^2 (1/2 + y/3 + y^2/4 + y^3/5 + y^4/6 + ...)
+    small = jnp.abs(y) < 0.1
+    ys = jnp.where(small, y, 0.0)
+    poly = (1.0 / 2.0 + ys * (1.0 / 3.0 + ys * (1.0 / 4.0 + ys * (
+        1.0 / 5.0 + ys * (1.0 / 6.0 + ys * (1.0 / 7.0 + ys / 8.0))))))
+    taylor = ys * ys * poly
+    # elsewhere: direct form (y >= 1 gives +inf/NaN -> candidate rejected)
+    yb = jnp.where(small, 0.5, y)
+    direct = -jnp.log1p(-yb) - yb
+    return jnp.where(small, taylor, direct)
+
+
+def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
+                        tclo_ref, zhi_ref, zlo_ref, tPhi_ref, tPlo_ref,
+                        sig_ref, xnh_ref, xnl_ref, stats_ref,
+                        *, nb: int, refine: int, has_P: bool, r: int,
+                        alpha: float):
+    """Full Newton step: direction + closed-form backtracking line search.
+
+    Replaces the engine's f64 candidate sweep (ops/barrier.py ls_objs):
+    with u_i = (C dx)_i / s_i, the candidate Newton-objective change is
+      Delta(sigma) = sigma*g.dx + sigma^2*q2 + sum_i phi(sigma*u_i),
+    q2 = t/2 * dx.P dx (QP only), phi as in _phi_stable — every term
+    well-scaled, so the whole sweep runs in f32 on the VPU.  Domain check
+    is the closed form  sigma * max_i(u_i) < 1  (slacks affine in sigma).
+    Selection = largest accepted sigma, identical to the reference's
+    sequential shrink (reference: NewtonSolver.py:157-206).
+    """
+    Chi, Clo = Chi_ref[:], Clo_ref[:]
+    zhi, zlo = zhi_ref[:], zlo_ref[:]
+    tPhi, tPlo = tPhi_ref[:], tPlo_ref[:]
+    out = _direction_core(
+        Chi, Clo, dhi_ref[:], dlo_ref[:], tchi_ref[:], tclo_ref[:],
+        zhi, zlo, tPhi, tPlo, nb=nb, refine=refine, has_P=has_P, r=r)
+    xh, xl = out["xh"], out["xl"]
+    gh, gl = out["gh"], out["gl"]
+    ish, isl = out["ish"], out["isl"]
+    sig = sig_ref[:]                                  # (1, J) f32
+
+    # u = (C dx) / s  (dd -> f32), padded rows give u = 0 -> phi = 0
+    cdh, cdl = dd.dd_matvec_cols(Chi, Clo, xh, xl)
+    uh, _ul = dd.dd_mul(cdh, cdl, ish, isl)           # (kp, 1)
+    u32 = uh
+
+    # g.dx (dd scalar) and optional q2 = t/2 dx.P dx
+    gxh, gxl = dd.dd_mul(gh, gl, xh, xl)
+    gxh, gxl = dd.dd_reduce(gxh, gxl, axis=1)         # (1, 1)
+    gdx32 = gxh[0, 0]
+    if has_P:
+        pdh, pdl = _dd_pmatvec_row(tPhi, tPlo, xh, xl)
+        qh, ql = dd.dd_mul(pdh, pdl, xh, xl)
+        qh, _ = dd.dd_reduce(qh, ql, axis=1)
+        q2 = 0.5 * qh[0, 0]
+    else:
+        q2 = jnp.zeros((), jnp.float32)
+
+    # candidate sweep, all f32: y = sigma_j * u_i, shape (kp, J)
+    y = u32 * sig
+    phisum = jnp.sum(_phi_stable(y), axis=0, keepdims=True)    # (1, J)
+    umax = jnp.max(u32)
+    domain = (sig * umax) < (1.0 - 1e-6)
+    armijo = (sig * ((1.0 - alpha) * gdx32) + sig * sig * q2
+              + phisum[0:1, :]) <= 0.0
+    accept = domain & armijo & jnp.isfinite(phisum[0:1, :])
+    sigma = jnp.max(jnp.where(accept, sig, jnp.zeros_like(sig)))
+    any_acc = sigma > 0.0
+
+    # x_new = z + sigma * dx  (dd)
+    sdh, sdl = dd.dd_mul_f32(xh, xl, sigma)
+    xnh, xnl = dd.dd_add(zhi, zlo, sdh, sdl)
+    xnh_ref[:] = xnh
+    xnl_ref[:] = xnl
+
+    stats_ref[0, 0] = -0.5 * gxh[0, 0]               # Newton decrement hi
+    stats_ref[0, 1] = -0.5 * gxl[0, 0]               # Newton decrement lo
+    stats_ref[0, 2] = sigma
+    stats_ref[0, 3] = any_acc.astype(jnp.float32)
+    stats_ref[0, 4] = jnp.sum(out["rh"] * out["rh"])  # direction residual
+    stats_ref[0, 5] = gdx32
+    stats_ref[0, 6] = umax
+    stats_ref[0, 7] = q2
 
 
 def supported(k: int, r: int, has_P: bool) -> bool:
@@ -318,6 +419,70 @@ def reduced_newton_dir_prepared(consts: ReducedConsts, tc, z, tP=None, *,
     dx = dd.join_f64(dxhi, dxlo)[0, :r].astype(f64)
     g = dd.join_f64(ghi, glo)[0, :r].astype(f64)
     return dx, g, rn[0, 0]
+
+
+def reduced_newton_step_prepared(consts: ReducedConsts, tc, z, tP, sigmas,
+                                 *, alpha: float, refine: int = 3,
+                                 interpret: bool = False):
+    """One full Newton iteration (direction + line search) as ONE kernel.
+
+    Args:
+      consts: pre-split (C, d) from prep_reduced_consts.
+      tc: (r,) f64 t-scaled linear cost; z: (r,) f64 iterate.
+      tP: optional (r, r) f64 t-scaled quadratic term.
+      sigmas: (J,) f64/f32 candidate steps beta**k (cast to f32).
+      alpha: static Armijo parameter.
+
+    Returns:
+      (x_new, nd, sigma, any_acc, rn): the accepted iterate (f64), the
+      Newton decrement -g.dx/2 (f64), the accepted step (f32 scalar),
+      whether any candidate passed, and the direction residual norm.
+    """
+    k, r = consts.k, consts.r
+    rp = _pad(r)
+    nb = rp // BLK
+    f64 = tc.dtype
+
+    tchi, tclo = dd.split_f64(_pad2(tc[None, :], 1, rp))
+    zhi, zlo = dd.split_f64(_pad2(z[None, :], 1, rp))
+    if tP is not None:
+        tPhi, tPlo = dd.split_f64(_pad2(tP, rp, rp))
+    else:
+        tPhi = tPlo = jnp.zeros((BLK, BLK), jnp.float32)
+    J = sigmas.shape[0]
+    Jp = max(BLK, -(-J // BLK) * BLK)
+    # pad candidates with 0 (never accepted: sigma=0 row is rejected by
+    # the strict <= 0 test only when gdx < 0... pad with 0 and rely on
+    # jnp.where(accept) max — sigma=0 contributes nothing to the max)
+    sig32 = jnp.zeros((1, Jp), jnp.float32).at[0, :J].set(
+        sigmas.astype(jnp.float32))
+
+    kernel = functools.partial(
+        _newton_step_kernel, nb=nb, refine=refine, has_P=tP is not None,
+        r=r, alpha=float(alpha))
+    with jax.enable_x64(False):
+        xnh, xnl, stats = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((1, rp), jnp.float32),
+                jax.ShapeDtypeStruct((1, rp), jnp.float32),
+                jax.ShapeDtypeStruct((1, 8), jnp.float32),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2
+            + (pl.BlockSpec(memory_space=pltpu.SMEM),),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(consts.Chi, consts.Clo, consts.dhi, consts.dlo, tchi, tclo,
+          zhi, zlo, tPhi, tPlo, sig32)
+
+    x_new = dd.join_f64(xnh, xnl)[0, :r].astype(f64)
+    nd = (stats[0, 0].astype(f64) + stats[0, 1].astype(f64))
+    sigma = stats[0, 2]
+    any_acc = stats[0, 3] > 0.5
+    rn = stats[0, 4]
+    return x_new, nd, sigma, any_acc, rn
 
 
 def reduced_newton_dir(C, d, tc, z, tP=None, *, refine: int = 3,
