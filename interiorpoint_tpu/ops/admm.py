@@ -81,6 +81,26 @@ def admm_core(A, b, reg, cfg, num_samples: int) -> ADMMResult:
     bA = Qinv @ (A.T @ b)                         # (n, b_cols)
     Qs = -(m * cfg.rho) * Qinv                    # (reference: :219)
 
+    # TPU f64 is emulated (bf16-limb matmuls, ~50x slower than f32).  The
+    # per-iteration x-update matmul runs as two f32 MXU matmuls on a
+    # split of Qs: the result error is ~1e-7 * ||u - alpha||, which both
+    # sits ~100x below the ADMM stopping tolerances and shrinks with the
+    # residual itself, so convergence and final accuracy are unaffected.
+    # (||Qs|| <= 1 since Q >= m*rho*I, so no amplification.)
+    split_matmul = (dtype == jnp.float64
+                    and jax.default_backend() == "tpu")
+    if split_matmul:
+        from .dd import split_f64
+        Qs_hi, Qs_lo = split_f64(Qs)
+
+    def _qs_matmul(v):
+        if not split_matmul:
+            return Qs @ v
+        v32 = v.astype(jnp.float32)
+        hi = jnp.dot(Qs_hi, v32, precision=jax.lax.Precision.HIGHEST)
+        lo = jnp.dot(Qs_lo, v32, precision=jax.lax.Precision.HIGHEST)
+        return hi.astype(dtype) + lo.astype(dtype)
+
     eta = reg / rho                               # (B,) or (1,)
     stop_multiplier = cfg.eps_abs * jnp.sqrt(jnp.asarray(n * B, dtype))
 
@@ -98,7 +118,7 @@ def admm_core(A, b, reg, cfg, num_samples: int) -> ADMMResult:
         return (~s.done) & (s.it < cfg.max_iters)
 
     def body(s: S):
-        x = bA + Qs @ (s.u - s.alpha)
+        x = bA + _qs_matmul(s.u - s.alpha)
         last_alpha = s.alpha
         alpha = soft_threshold(x + s.u, eta, cfg.positive, cfg.add_bias)
         u = s.u + x - alpha
