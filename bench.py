@@ -96,7 +96,7 @@ def bench_socp(n, reps, dtype):
     x0 = p.pop("x0")
     solver = SOCPSolver(
         **p, suppress_print=True, check_cvxpy=False, epsilon=1e-4, mu=15,
-        t0=0.1, max_inner_iters=500, max_outer_iters=10, beta=0.5,
+        t0="auto", max_inner_iters=500, max_outer_iters=20, beta=0.5,
         alpha=0.05, x0=x0, dtype=dtype)
     mean_s, times = _timed_reps(solver.solve, reps)
     return mean_s, times, solver.value, ""

@@ -71,6 +71,76 @@ def _barrier_core(prob, A, b, x0, t0, cfg, oracle_fn, p1_oracle_fn,
     )
 
 
+# ---------------------------------------------------------------------------
+# Host-stepped (staged) dispatch: one device call per barrier stage.
+#
+# The single-program path above runs the entire solve as one XLA execution.
+# Some runtimes bound single-execution time (the axon TPU worker kills
+# executions after ~60 s), and very large f64 problems can exceed that.
+# The staged path runs the SAME stage body (ops/ipm.py:make_outer_body /
+# make_phase1_body) one outer stage per dispatch, reading the scalar `done`
+# flag between stages — identical math, bounded per-call device time, at
+# the cost of one host sync per stage.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "p1_fn"))
+def _p1_init_core(prob, x0, cfg, p1_fn):
+    from ..ops.ipm import phase1_init
+    return phase1_init(p1_fn(prob), x0, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "p1_fn"))
+def _p1_stage_core(prob, state, cfg, p1_fn):
+    from ..ops.ipm import make_phase1_body
+    return make_phase1_body(p1_fn(prob), cfg)(state)
+
+
+@partial(jax.jit, static_argnames=("cfg", "oracle_fn", "num_constraints",
+                                   "eq_gate"))
+def _outer_stage_core(prob, A, b, state, cfg, oracle_fn, num_constraints,
+                      eq_gate):
+    from ..ops.ipm import make_outer_body
+    body = make_outer_body(oracle_fn(prob), A, b, cfg,
+                           num_constraints=num_constraints, eq_gate=eq_gate)
+    return body(state)
+
+
+def _barrier_staged(prob, A, b, x0, t0, cfg, oracle_fn, p1_oracle_fn,
+                    num_constraints, eq_gate) -> IPMResult:
+    """Host-stepped equivalent of _barrier_core."""
+    from ..ops.ipm import Phase1Result, outer_init
+
+    dtype = x0.dtype
+    p1 = None
+    x_start = x0
+    if p1_oracle_fn is not None:
+        st = _p1_init_core(prob, x0, cfg, p1_oracle_fn)
+        if float(st.z[-1]) >= 1.0:   # phase-1 gate (reference: LPSolver.py:546)
+            while (not bool(st.done)) and int(st.it) < cfg.max_outer_iters:
+                st = _p1_stage_core(prob, st, cfg, p1_oracle_fn)
+            p1 = Phase1Result(x=st.z[:-1], s=st.z[-1], outer_iters=st.it,
+                              newton_iters=st.newton_iters)
+            x_start = p1.x
+        else:
+            p1 = Phase1Result(
+                x=x0, s=jnp.asarray(-jnp.inf, dtype),
+                outer_iters=jnp.zeros((), jnp.int32),
+                newton_iters=jnp.zeros((), jnp.int32))
+
+    state = outer_init(x_start, None, jnp.asarray(t0, dtype), A, cfg,
+                       num_constraints)
+    while (not bool(state.done)) and int(state.it) < cfg.max_outer_iters:
+        state = _outer_stage_core(prob, A, b, state, cfg, oracle_fn,
+                                  num_constraints, eq_gate)
+    return IPMResult(
+        x=state.best_x, v=state.v if A is not None else None,
+        value=state.best_obj, dual_gap=state.dual_gap, t=state.t,
+        outer_iters=state.it, inner_iters=state.inner_iters,
+        obj_vals=state.obj_vals, phase1=p1,
+    )
+
+
 class BarrierDriver:
     """Common API surface mirroring the reference drivers.
 
@@ -99,8 +169,16 @@ class BarrierDriver:
                      dtype=None, refine_steps=0, eq_gate=None):
         del update_slacks_every  # unnecessary: exact slacks are free here
         self._dtype_name = dtype or default_dtype()
+        # t0="auto" scales the initial barrier parameter to the problem:
+        # t0 = m / max(|f(x0)|, 1), the standard gap-matching heuristic
+        # (Boyd & Vandenberghe 11.3.1).  A fixed t0 on a badly-scaled
+        # objective puts the first centering problem deep in the damped
+        # Newton phase (hundreds of slack-crawling steps); the reference
+        # hard-codes t0 and fails outright on its own large SOCP recipe.
+        self._t0_auto = (isinstance(t0, str) and t0 == "auto")
+        self._t0_auto_value = None
         self.cfg = SolverConfig(
-            t0=float(t0), mu=float(mu), epsilon=float(epsilon),
+            t0=0.1 if self._t0_auto else float(t0), mu=float(mu), epsilon=float(epsilon),
             max_outer_iters=int(max_outer_iters),
             inner_epsilon=float(inner_epsilon),
             max_inner_iters=int(max_inner_iters),
@@ -174,6 +252,25 @@ class BarrierDriver:
     def _check_x0(self, x):
         raise NotImplementedError
 
+    def _staged_heuristic(self) -> bool:
+        """Whether to prefer host-stepped dispatch on TPU; see
+        _barrier_staged.  Default: stay single-program when the fused
+        Pallas Newton kernel covers the (reduced) problem — those solves
+        run in well under any execution limit — else stage large problems
+        whose emulated-f64 device time could exceed it."""
+        if self._reduced is not None:
+            prob = self._reduced.prob
+            C = getattr(prob, "C", None)
+            if (C is not None and self.cfg.use_pallas
+                    and self.cfg.mixed_precision
+                    and self.cfg.kkt_strategy == "cholesky"
+                    and self.cfg.dtype == "float64"):
+                from ..ops.pallas_newton import supported
+                P = getattr(prob, "P", None)
+                if supported(*C.shape, P is not None):
+                    return False
+        return self.n >= 2000
+
     def _slacks_at(self, x):
         """Full slack vector for dual recovery."""
         return full_linear_slacks(self._prob, x)
@@ -190,7 +287,17 @@ class BarrierDriver:
         if not resolve and self.optimal:
             return self.value
 
-        t0 = kwargs.get("t0", self.cfg.t0)
+        t0 = kwargs.get("t0", None)
+        if t0 is None:
+            if self._t0_auto:
+                if self._t0_auto_value is None:
+                    obj0 = float(self._oracle_fn(self._prob).obj(
+                        jnp.asarray(self.x, dtype=self.cfg.jnp_dtype)))
+                    self._t0_auto_value = (
+                        max(self.num_constraints, 1) / max(abs(obj0), 1.0))
+                t0 = self._t0_auto_value
+            else:
+                t0 = self.cfg.t0
         self.track_loss = kwargs.get("track_loss", self.track_loss)
         cfg = self.cfg
         if "max_outer_iters" in kwargs:
@@ -208,6 +315,12 @@ class BarrierDriver:
         A, b = self._eq
         eq_gate = cfg.eq_gate if cfg.eq_gate is not None else self._eq_gate_default
 
+        staged = cfg.staged_dispatch
+        if staged is None:
+            staged = (jax.default_backend() == "tpu"
+                      and self._staged_heuristic())
+        core = _barrier_staged if staged else _barrier_core
+
         if self._reduced is not None:
             rf = self._reduced
             # Warm start precomputed at construction (see _setup_reduced);
@@ -217,7 +330,7 @@ class BarrierDriver:
                                      - rf.basis.x_p)
             else:
                 z0 = self._z0_default
-            res = _barrier_core(
+            res = core(
                 rf.prob, None, None, z0, jnp.asarray(t0, dtype=dtype),
                 cfg, self._oracle_fn_z, self._p1_oracle_fn_z,
                 self.num_constraints, float(eq_gate),
@@ -225,7 +338,7 @@ class BarrierDriver:
             x_best = rf.expand(res.x)
             obj_offset = self._reduced_offset
         else:
-            res = _barrier_core(
+            res = core(
                 self._prob, A, b,
                 jnp.asarray(x0, dtype=dtype),
                 jnp.asarray(t0, dtype=dtype),

