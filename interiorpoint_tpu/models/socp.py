@@ -173,9 +173,11 @@ class SOCPSolver(BarrierDriver):
 
     def _staged_heuristic(self) -> bool:
         # The SOCP cone oracle is einsum-heavy emulated f64 on TPU: a full
-        # f64 solve at n >= ~300 can exceed runtime single-execution limits,
-        # so step one barrier stage per dispatch (models/base.py).
-        return self.n >= 300
+        # f64 solve at large n can exceed runtime single-execution limits,
+        # so step one barrier stage per dispatch (models/base.py).  Below
+        # n=2000 (with the auto-scaled t0 keeping stage counts small) the
+        # whole solve fits comfortably in one execution.
+        return self.n >= 2000
 
     def _check_x0(self, x):
         """Cone-membership validation (reference: SOCPSolver.py:755-810)."""

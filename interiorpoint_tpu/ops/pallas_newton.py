@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import dd
 from .pallas_chol import BLK, _factor_diag_block
 
-VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+VMEM_BUDGET_BYTES = 40 * 1024 * 1024
 
 
 def _pad(n: int) -> int:
@@ -82,52 +82,79 @@ def _dot_tn(a, b):
         preferred_element_type=jnp.float32)
 
 
-def _chol_blocks(Hs, nb: int):
-    """Blocked Cholesky on a value: returns (cols, dinvs) where cols[j] is
-    the (rp, BLK) j-th block column of L and dinvs[j] the inverse of its
-    diagonal block.  Pure static control flow (Pallas-safe)."""
-    cols, dinvs = [], []
-    for kb in range(nb):
-        k0 = kb * BLK
-        acc = Hs[:, k0:k0 + BLK]                       # (rp, BLK)
-        for j in range(kb):
-            Ljk = cols[j][k0:k0 + BLK, :]              # (BLK, BLK) = L[kb,j]
-            acc = acc - _dot_nt(cols[j], Ljk)
-        Lkk, Linv = _factor_diag_block(acc[k0:k0 + BLK, :])
-        pieces = [jnp.zeros((k0, BLK), jnp.float32), Lkk] if kb else [Lkk]
-        if kb + 1 < nb:
-            pieces.append(_dot_nt(acc[k0 + BLK:, :], Linv))
-        cols.append(jnp.concatenate(pieces, axis=0) if len(pieces) > 1
-                    else pieces[0])
-        dinvs.append(Linv)
-    return cols, dinvs
+def _chol_factor_ref(l_ref, dinv_ref, nb: int):
+    """Left-looking blocked Cholesky in place on ``l_ref`` (preloaded with
+    the SPD matrix); inverted diagonal blocks written to ``dinv_ref``.
 
-
-def _chol_solve_row(cols, dinvs, r_row, nb: int):
-    """Solve (L L^T) x = r in row space: r_row is (1, rp); returns (1, rp).
-
-    Forward: y_k = (r_k - sum_{j<k} y_j L_kj^T) Dinv_k^T
-    Backward: x_k = (y_k - sum_{j>k} x_j L_jk)   Dinv_k
-    All (1, BLK) x (BLK, BLK) MXU dots; no transposed data movement.
+    All block loops are lax.fori_loop over dynamic ref slices, so the
+    compiled code size is O(1) in nb (the earlier unrolled-Python variant
+    made Mosaic compilation explode past nb=3).
     """
-    ys = []
-    for kb in range(nb):
-        k0 = kb * BLK
-        acc = r_row[:, k0:k0 + BLK]
-        for j in range(kb):
-            Lkj = cols[j][k0:k0 + BLK, :]
-            acc = acc - _dot_nt(ys[j], Lkj)
-        ys.append(_dot_nt(acc, dinvs[kb]))
-    xs = [None] * nb
-    for kb in reversed(range(nb)):
-        k0 = kb * BLK
-        acc = ys[kb]
-        for j in range(kb + 1, nb):
-            j0 = j * BLK
-            Ljk = cols[kb][j0:j0 + BLK, :]
-            acc = acc - _dot(xs[j], Ljk)
-        xs[kb] = _dot(acc, dinvs[kb])
-    return jnp.concatenate(xs, axis=1) if nb > 1 else xs[0]
+    def col_block(kb, _):
+        k0 = pl.multiple_of(kb * BLK, BLK)
+
+        def dsub(j, D):
+            Lkj = l_ref[pl.ds(k0, BLK), pl.ds(pl.multiple_of(j * BLK, BLK),
+                                              BLK)]
+            return D - _dot_nt(Lkj, Lkj)
+
+        D = lax.fori_loop(0, kb, dsub, l_ref[pl.ds(k0, BLK), pl.ds(k0, BLK)])
+        Lkk, Linv = _factor_diag_block(D)
+        l_ref[pl.ds(k0, BLK), pl.ds(k0, BLK)] = Lkk
+        dinv_ref[pl.ds(k0, BLK), :] = Linv
+
+        def row_block(ib, _):
+            i0 = pl.multiple_of(ib * BLK, BLK)
+
+            def psub(j, P):
+                j0 = pl.multiple_of(j * BLK, BLK)
+                Lij = l_ref[pl.ds(i0, BLK), pl.ds(j0, BLK)]
+                Lkj = l_ref[pl.ds(k0, BLK), pl.ds(j0, BLK)]
+                return P - _dot_nt(Lij, Lkj)
+
+            P = lax.fori_loop(0, kb, psub,
+                              l_ref[pl.ds(i0, BLK), pl.ds(k0, BLK)])
+            l_ref[pl.ds(i0, BLK), pl.ds(k0, BLK)] = _dot_nt(P, Linv)
+            return 0
+
+        lax.fori_loop(kb + 1, nb, row_block, 0)
+        return 0
+
+    lax.fori_loop(0, nb, col_block, 0)
+
+
+def _chol_solve_ref(l_ref, dinv_ref, x_ref, nb: int):
+    """Solve (L L^T) x = r in row space, in place on ``x_ref`` (1, rp)
+    preloaded with r.  Forward: y_k = (r_k - sum_{j<k} y_j L_kj^T) Dinv_k^T;
+    backward: x_k = (y_k - sum_{j>k} x_j L_jk) Dinv_k."""
+    def fwd(kb, _):
+        k0 = pl.multiple_of(kb * BLK, BLK)
+
+        def sub(j, a):
+            j0 = pl.multiple_of(j * BLK, BLK)
+            Lkj = l_ref[pl.ds(k0, BLK), pl.ds(j0, BLK)]
+            return a - _dot_nt(x_ref[:, pl.ds(j0, BLK)], Lkj)
+
+        acc = lax.fori_loop(0, kb, sub, x_ref[:, pl.ds(k0, BLK)])
+        x_ref[:, pl.ds(k0, BLK)] = _dot_nt(acc, dinv_ref[pl.ds(k0, BLK), :])
+        return 0
+
+    lax.fori_loop(0, nb, fwd, 0)
+
+    def bwd(i, _):
+        kb = nb - 1 - i
+        k0 = pl.multiple_of(kb * BLK, BLK)
+
+        def sub(j, a):
+            j0 = pl.multiple_of(j * BLK, BLK)
+            Ljk = l_ref[pl.ds(j0, BLK), pl.ds(k0, BLK)]
+            return a - _dot(x_ref[:, pl.ds(j0, BLK)], Ljk)
+
+        acc = lax.fori_loop(kb + 1, nb, sub, x_ref[:, pl.ds(k0, BLK)])
+        x_ref[:, pl.ds(k0, BLK)] = _dot(acc, dinv_ref[pl.ds(k0, BLK), :])
+        return 0
+
+    lax.fori_loop(0, nb, bwd, 0)
 
 
 def _row_to_col(v):
@@ -162,9 +189,11 @@ def _dd_recip(hi, lo):
 
 
 def _direction_core(Chi, Clo, dhi, dlo, tchi, tclo, zhi, zlo, tPhi, tPlo,
+                    l_ref, dinv_ref, x_ref,
                     *, nb: int, refine: int, has_P: bool, r: int):
     """Shared kernel core: slacks -> gradient -> f32 factor -> dd-refined
-    Newton direction.  All operands are values (already read from refs)."""
+    Newton direction.  Matrix operands are values; the factor and the
+    per-refinement triangular solves run in place on the scratch refs."""
     rp = Chi.shape[1]
 
     # slacks s = d - C z (dd, (kp, 1)); padded rows have d=1, C=0 -> s=1
@@ -202,23 +231,39 @@ def _direction_core(Chi, Clo, dhi, dlo, tchi, tclo, zhi, zlo, tPhi, tPlo,
     Hs = H32 * dsc_c * dsc_r
 
     # f32 blocked factor with jitter-retry ladder; jitter only degrades the
-    # preconditioner, never the answer (refinement corrects exactly)
-    Lcols, dinvs = _chol_blocks(Hs, nb)
-    for delta in (1e-6, 3e-3):
-        probe = sum(jnp.sum(c) for c in Lcols)
-        bad = ~jnp.isfinite(probe)
-        Lcols, dinvs = lax.cond(
-            bad,
-            lambda d=delta: _chol_blocks(Hs + d * eye, nb),
-            lambda: (Lcols, dinvs),
-        )
+    # preconditioner, never the answer (refinement corrects exactly).
+    # One factor body, wrapped in a while_loop over escalating jitters.
+    # (Pallas kernels cannot capture array constants: select the jitter
+    # with scalar wheres instead of a table.)
+    def fac_cond(c):
+        i, bad = c
+        return bad & (i < 4)
+
+    def fac_body(c):
+        i, _ = c
+        delta = jnp.where(
+            i == 0, 0.0,
+            jnp.where(i == 1, 1e-6, jnp.where(i == 2, 3e-3, 1.0))
+        ).astype(jnp.float32)
+        l_ref[:] = Hs + delta * eye
+        _chol_factor_ref(l_ref, dinv_ref, nb)
+        ok = jnp.isfinite(jnp.sum(dinv_ref[:]))
+        return i + 1, ~ok
+
+    lax.while_loop(fac_cond, fac_body, (jnp.zeros((), jnp.int32),
+                                        jnp.ones((), bool)))
+
+    def _precond_solve(rhs_row):
+        x_ref[:] = rhs_row
+        _chol_solve_ref(l_ref, dinv_ref, x_ref, nb)
+        return x_ref[:]
 
     # refinement: solve H dx = -g with matrix-free dd residuals
     xh = jnp.zeros((1, rp), jnp.float32)
     xl = jnp.zeros((1, rp), jnp.float32)
     rh, rl = -gh, -gl
     for _ in range(refine):
-        corr = dsc_r * _chol_solve_row(Lcols, dinvs, rh * dsc_r, nb)
+        corr = dsc_r * _precond_solve(rh * dsc_r)
         xh, xl = dd.dd_add(xh, xl, corr, jnp.zeros_like(corr))
         # r = -g - H x  (dd, matrix-free)
         cxh, cxl = dd.dd_matvec_cols(Chi, Clo, xh, xl)
@@ -236,10 +281,12 @@ def _direction_core(Chi, Clo, dhi, dlo, tchi, tclo, zhi, zlo, tPhi, tPlo,
 def _newton_dir_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
                        tclo_ref, zhi_ref, zlo_ref, tPhi_ref, tPlo_ref,
                        dxhi_ref, dxlo_ref, ghi_ref, glo_ref, rn_ref,
+                       l_ref, dinv_ref, x_ref,
                        *, nb: int, refine: int, has_P: bool, r: int):
     out = _direction_core(
         Chi_ref[:], Clo_ref[:], dhi_ref[:], dlo_ref[:], tchi_ref[:],
         tclo_ref[:], zhi_ref[:], zlo_ref[:], tPhi_ref[:], tPlo_ref[:],
+        l_ref, dinv_ref, x_ref,
         nb=nb, refine=refine, has_P=has_P, r=r)
     dxhi_ref[:] = out["xh"]
     dxlo_ref[:] = out["xl"]
@@ -272,6 +319,7 @@ def _phi_stable(y):
 def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
                         tclo_ref, zhi_ref, zlo_ref, tPhi_ref, tPlo_ref,
                         sig_ref, xnh_ref, xnl_ref, stats_ref,
+                        l_ref, dinv_ref, x_ref,
                         *, nb: int, refine: int, has_P: bool, r: int,
                         alpha: float):
     """Full Newton step: direction + closed-form backtracking line search.
@@ -290,7 +338,8 @@ def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
     tPhi, tPlo = tPhi_ref[:], tPlo_ref[:]
     out = _direction_core(
         Chi, Clo, dhi_ref[:], dlo_ref[:], tchi_ref[:], tclo_ref[:],
-        zhi, zlo, tPhi, tPlo, nb=nb, refine=refine, has_P=has_P, r=r)
+        zhi, zlo, tPhi, tPlo, l_ref, dinv_ref, x_ref,
+        nb=nb, refine=refine, has_P=has_P, r=r)
     xh, xl = out["xh"], out["xl"]
     gh, gl = out["gh"], out["gl"]
     ish, isl = out["ish"], out["isl"]
@@ -411,8 +460,13 @@ def reduced_newton_dir_prepared(consts: ReducedConsts, tc, z, tP=None, *,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 4
             + (pl.BlockSpec(memory_space=pltpu.SMEM),),
+            scratch_shapes=[
+                pltpu.VMEM((rp, rp), jnp.float32),
+                pltpu.VMEM((rp, BLK), jnp.float32),
+                pltpu.VMEM((1, rp), jnp.float32),
+            ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=128 * 1024 * 1024),
             interpret=interpret,
         )(Chi, Clo, dhi, dlo, tchi, tclo, zhi, zlo, tPhi, tPlo)
 
@@ -471,8 +525,13 @@ def reduced_newton_step_prepared(consts: ReducedConsts, tc, z, tP, sigmas,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2
             + (pl.BlockSpec(memory_space=pltpu.SMEM),),
+            scratch_shapes=[
+                pltpu.VMEM((rp, rp), jnp.float32),
+                pltpu.VMEM((rp, BLK), jnp.float32),
+                pltpu.VMEM((1, rp), jnp.float32),
+            ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=128 * 1024 * 1024),
             interpret=interpret,
         )(consts.Chi, consts.Clo, consts.dhi, consts.dlo, tchi, tclo,
           zhi, zlo, tPhi, tPlo, sig32)
