@@ -15,6 +15,7 @@ Usage: python bench.py [--suite lp|qp|socp|lasso] [--n N] [--reps R]
 """
 
 import argparse
+import os
 import json
 import sys
 import time
@@ -128,6 +129,12 @@ def main():
     import jax
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
+    # Persistent compilation cache: large Pallas/XLA programs take minutes
+    # to compile; cache them across processes (timing is steady-state and
+    # excludes compilation either way).
+    os.makedirs("/tmp/ip_tpu_jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ip_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     fn = {"lp": bench_lp, "qp": bench_qp, "socp": bench_socp,
           "lasso": bench_lasso}[args.suite]

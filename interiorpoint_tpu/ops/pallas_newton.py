@@ -258,6 +258,16 @@ def _direction_core(Chi, Clo, dhi, dlo, tchi, tclo, zhi, zlo, tPhi, tPlo,
         _chol_solve_ref(l_ref, dinv_ref, x_ref, nb)
         return x_ref[:]
 
+    def _dd_resid(xh, xl):
+        """r = -g - H x, dd, matrix-free against the true operator."""
+        cxh, cxl = dd.dd_matvec_cols(Chi, Clo, xh, xl)
+        wyh, wyl = dd.dd_mul(wh, wl, cxh, cxl)
+        hxh, hxl = dd.dd_matvec_rows(Chi, Clo, wyh, wyl)
+        if has_P:
+            pxh, pxl = _dd_pmatvec_row(tPhi, tPlo, xh, xl)
+            hxh, hxl = dd.dd_add(hxh, hxl, pxh, pxl)
+        return dd.dd_add(-gh, -gl, -hxh, -hxl)
+
     # refinement: solve H dx = -g with matrix-free dd residuals
     xh = jnp.zeros((1, rp), jnp.float32)
     xl = jnp.zeros((1, rp), jnp.float32)
@@ -265,14 +275,46 @@ def _direction_core(Chi, Clo, dhi, dlo, tchi, tclo, zhi, zlo, tPhi, tPlo,
     for _ in range(refine):
         corr = dsc_r * _precond_solve(rh * dsc_r)
         xh, xl = dd.dd_add(xh, xl, corr, jnp.zeros_like(corr))
-        # r = -g - H x  (dd, matrix-free)
-        cxh, cxl = dd.dd_matvec_cols(Chi, Clo, xh, xl)
-        wyh, wyl = dd.dd_mul(wh, wl, cxh, cxl)
-        hxh, hxl = dd.dd_matvec_rows(Chi, Clo, wyh, wyl)
-        if has_P:
-            pxh, pxl = _dd_pmatvec_row(tPhi, tPlo, xh, xl)
-            hxh, hxl = dd.dd_add(hxh, hxl, pxh, pxl)
-        rh, rl = dd.dd_add(-gh, -gl, -hxh, -hxl)
+        rh, rl = _dd_resid(xh, xl)
+
+    # Stall escalation: plain refinement diverges once kappa(Hs)*eps32 > 1
+    # (deep barrier stages reach kappa ~ 1e9-1e10).  Preconditioned CG on
+    # the equilibrated operator converges at ~sqrt(kappa*eps32) instead:
+    # run a few dd-wrapped rounds of f32 PCG corrections, cond-gated so
+    # well-conditioned steps pay nothing.
+    def _pcg(rs, iters):
+        z0 = _precond_solve(rs)
+
+        def body(_, c):
+            x, rr, z, p, rz = c
+            Hp = _dot(p, Hs)
+            denom = jnp.sum(p * Hp)
+            a = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+            x = x + a * p
+            rr = rr - a * Hp
+            z = _precond_solve(rr)
+            rz2 = jnp.sum(rr * z)
+            beta = rz2 / jnp.where(jnp.abs(rz) > 1e-30, rz, 1e-30)
+            return x, rr, z, p * beta + z, rz2
+
+        x0 = jnp.zeros_like(rs)
+        out = lax.fori_loop(0, iters, body,
+                            (x0, rs, z0, z0, jnp.sum(rs * z0)))
+        return out[0]
+
+    def _pcg_rounds(carry):
+        xh, xl, rh, rl = carry
+        for _ in range(3):
+            corr = dsc_r * _pcg(rh * dsc_r, 48)
+            xh, xl = dd.dd_add(xh, xl, corr, jnp.zeros_like(corr))
+            rh, rl = _dd_resid(xh, xl)
+        return xh, xl, rh, rl
+
+    rn2 = jnp.sum((rh * dsc_r) ** 2)
+    bn2 = jnp.sum((gh * dsc_r) ** 2)
+    stalled = rn2 > 1e-12 * bn2
+    xh, xl, rh, rl = lax.cond(
+        stalled, _pcg_rounds, lambda c: c, (xh, xl, rh, rl))
 
     return dict(xh=xh, xl=xl, gh=gh, gl=gl, rh=rh, rl=rl,
                 ish=ish, isl=isl)
