@@ -432,9 +432,17 @@ def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
 
 
 def supported(k: int, r: int, has_P: bool) -> bool:
+    """Whether the all-VMEM kernel fits TPU v5e's 128 MB VMEM.
+
+    Empirical: peak scoped liveness is dominated by the (kp, rp) dd
+    temporaries (~13-16 live f32 buffers inside fused dd expressions).
+    Measured: LP (4480x512, no P) fits at 2.29M words; QP (4096x512 with
+    P) OOMs at 134.6M/128M bytes.  Larger problems use the staged XLA
+    path until the dd matvecs are chunked over row blocks.
+    """
     kp, rp = _pad(k), _pad(r)
-    words = 2 * kp * rp + (3 + (2 if has_P else 0)) * rp * rp + 8 * kp
-    return words * 4 <= VMEM_BUDGET_BYTES
+    cap_words = 1_900_000 if has_P else 2_300_000
+    return kp * rp <= cap_words and rp <= 1024
 
 
 class ReducedConsts(typing.NamedTuple):
