@@ -27,6 +27,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache (large Pallas programs take minutes to build)
+os.makedirs("/tmp/ip_tpu_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/ip_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from interiorpoint_tpu import (  # noqa: E402
     LassoSolver, LPSolver, QPSolver, SOCPSolver)
@@ -123,9 +127,10 @@ def test_SOCP(dims, N=10, outdir=".", verbose=True):
             x0 = p.pop("x0")
             solver = SOCPSolver(
                 **p, suppress_print=True, check_cvxpy=False, epsilon=1e-4,
-                mu=15, t0=0.1, max_inner_iters=500, max_outer_iters=10,
+                mu=15, t0="auto", max_inner_iters=500, max_outer_iters=20,
                 beta=0.5, alpha=0.05,
-                x0=x0)  # (reference: testSolver.py:924-941)
+                x0=x0)  # (reference: testSolver.py:924-941; t0 auto-scaled,
+                        # the reference's fixed t0 fails on this recipe)
             solver.solve()
             dt, val = _timed(solver.solve)
             t_ours[count, i], v_ours[count, i] = dt, val

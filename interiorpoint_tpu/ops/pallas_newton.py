@@ -35,9 +35,10 @@ convergence rate, never the answer.  The final residual norm is returned
 so the caller can detect the (rare, kappa > ~1e7) stall and re-solve via
 the exact path.
 
-Supported sizes: everything resident in VMEM — requires
-(2*kp*rp + [2*]rp^2 + a few blocks) * 4B <= ~12 MB; `supported()` checks.
-Larger problems use the XLA mixed-precision path (ops/kkt.py).
+Supported sizes: C (dd pair) resident in VMEM; all passes over C are
+chunked (CH-row slabs), so liveness is inputs + slab temps — `supported()`
+checks against TPU v5e's 128 MB VMEM.  Larger problems use the staged XLA
+mixed-precision path (ops/kkt.py).
 """
 
 from __future__ import annotations
@@ -54,7 +55,8 @@ from jax.experimental.pallas import tpu as pltpu
 from . import dd
 from .pallas_chol import BLK, _factor_diag_block
 
-VMEM_BUDGET_BYTES = 40 * 1024 * 1024
+# Rows per chunked pass over C inside the kernel (see _direction_core).
+CH = 512
 
 
 def _pad(n: int) -> int:
@@ -188,32 +190,60 @@ def _dd_recip(hi, lo):
     return dd.dd_add(r0, jnp.zeros_like(r0), ch, cl)
 
 
-def _direction_core(Chi, Clo, dhi, dlo, tchi, tclo, zhi, zlo, tPhi, tPlo,
-                    l_ref, dinv_ref, x_ref,
-                    *, nb: int, refine: int, has_P: bool, r: int):
+def _direction_core(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi, tclo,
+                    zhi, zlo, tPhi, tPlo,
+                    l_ref, dinv_ref, x_ref, vec_ref,
+                    *, nb: int, nck: int, refine: int, has_P: bool, r: int):
     """Shared kernel core: slacks -> gradient -> f32 factor -> dd-refined
-    Newton direction.  Matrix operands are values; the factor and the
-    per-refinement triangular solves run in place on the scratch refs."""
-    rp = Chi.shape[1]
+    Newton direction.
 
-    # slacks s = d - C z (dd, (kp, 1)); padded rows have d=1, C=0 -> s=1
-    uh, ul = dd.dd_matvec_cols(Chi, Clo, zhi, zlo)
-    sh, sl = dd.dd_add(dhi, dlo, -uh, -ul)
+    C stays in its input refs and every pass over it is CHUNKED
+    (lax.fori_loop over CH-row slabs): peak VMEM liveness is then the
+    ~dozen dd temporaries of ONE (CH, rp) slab instead of the full
+    (kp, rp) matrix, and Mosaic compile time stops scaling with kp.
+    Per-row dd vectors (s, w=1/s^2, 1/s) persist in ``vec_ref`` columns
+    [0:2)=s, [2:4)=w, [4:6)=1/s.
+    """
+    rp = Chi_ref.shape[1]
 
-    # 1/s and 1/s^2 (dd)
-    ish, isl = _dd_recip(sh, sl)
-    wh, wl = dd.dd_mul(ish, isl, ish, isl)
+    # ---- pass 1: slacks s = d - C z, 1/s, w = 1/s^2 (into vec_ref), and
+    # the barrier gradient accumulation C^T (1/s) ---------------------------
+    def p1_body(ic, acc):
+        ah, al = acc
+        i0 = pl.multiple_of(ic * CH, CH)
+        ch = Chi_ref[pl.ds(i0, CH), :]
+        cl = Clo_ref[pl.ds(i0, CH), :]
+        mh, ml = dd.dd_matvec_cols(ch, cl, zhi, zlo)
+        sh_c, sl_c = dd.dd_add(dhi_ref[pl.ds(i0, CH), :],
+                               dlo_ref[pl.ds(i0, CH), :], -mh, -ml)
+        ish_c, isl_c = _dd_recip(sh_c, sl_c)
+        wh_c, wl_c = dd.dd_mul(ish_c, isl_c, ish_c, isl_c)
+        vec_ref[pl.ds(i0, CH), 0:1] = sh_c
+        vec_ref[pl.ds(i0, CH), 1:2] = sl_c
+        vec_ref[pl.ds(i0, CH), 2:3] = wh_c
+        vec_ref[pl.ds(i0, CH), 3:4] = wl_c
+        vec_ref[pl.ds(i0, CH), 4:5] = ish_c
+        vec_ref[pl.ds(i0, CH), 5:6] = isl_c
+        ph, pl2 = dd.dd_mul(ch, cl, ish_c, isl_c)
+        rh_c, rl_c = dd.dd_reduce(ph, pl2, axis=0)
+        return dd.dd_add(ah, al, rh_c, rl_c)
 
-    # gradient g = t*c [+ t*P z] + C^T (1/s)   (dd, (1, rp))
-    bth, btl = dd.dd_matvec_rows(Chi, Clo, ish, isl)
+    zer = jnp.zeros((1, rp), jnp.float32)
+    bth, btl = lax.fori_loop(0, nck, p1_body, (zer, zer))
+
     gh, gl = dd.dd_add(tchi, tclo, bth, btl)
     if has_P:
         pzh, pzl = _dd_pmatvec_row(tPhi, tPlo, zhi, zlo)
         gh, gl = dd.dd_add(gh, gl, pzh, pzl)
 
-    # Hessian preconditioner H32 = [tP +] C^T diag(w) C  (f32, MXU)
-    w32 = wh
-    H32 = _dot_tn(Chi * w32, Chi)
+    # ---- pass 2: Hessian preconditioner H32 = [tP +] C^T diag(w) C --------
+    def p2_body(ic, H):
+        i0 = pl.multiple_of(ic * CH, CH)
+        ch = Chi_ref[pl.ds(i0, CH), :]
+        w32c = vec_ref[pl.ds(i0, CH), 2:3]
+        return H + _dot_tn(ch * w32c, ch)
+
+    H32 = lax.fori_loop(0, nck, p2_body, jnp.zeros((rp, rp), jnp.float32))
     if has_P:
         H32 = H32 + tPhi
     # identity on padded columns keeps the factor finite
@@ -259,10 +289,21 @@ def _direction_core(Chi, Clo, dhi, dlo, tchi, tclo, zhi, zlo, tPhi, tPlo,
         return x_ref[:]
 
     def _dd_resid(xh, xl):
-        """r = -g - H x, dd, matrix-free against the true operator."""
-        cxh, cxl = dd.dd_matvec_cols(Chi, Clo, xh, xl)
-        wyh, wyl = dd.dd_mul(wh, wl, cxh, cxl)
-        hxh, hxl = dd.dd_matvec_rows(Chi, Clo, wyh, wyl)
+        """r = -g - H x, dd, matrix-free against the true operator
+        (chunked pass: C^T (w * (C x)))."""
+        def body(ic, acc):
+            ah, al = acc
+            i0 = pl.multiple_of(ic * CH, CH)
+            ch = Chi_ref[pl.ds(i0, CH), :]
+            cl = Clo_ref[pl.ds(i0, CH), :]
+            yh_c, yl_c = dd.dd_matvec_cols(ch, cl, xh, xl)
+            wyh, wyl = dd.dd_mul(vec_ref[pl.ds(i0, CH), 2:3],
+                                 vec_ref[pl.ds(i0, CH), 3:4], yh_c, yl_c)
+            ph, pl2 = dd.dd_mul(ch, cl, wyh, wyl)
+            rh_c, rl_c = dd.dd_reduce(ph, pl2, axis=0)
+            return dd.dd_add(ah, al, rh_c, rl_c)
+
+        hxh, hxl = lax.fori_loop(0, nck, body, (zer, zer))
         if has_P:
             pxh, pxl = _dd_pmatvec_row(tPhi, tPlo, xh, xl)
             hxh, hxl = dd.dd_add(hxh, hxl, pxh, pxl)
@@ -316,20 +357,20 @@ def _direction_core(Chi, Clo, dhi, dlo, tchi, tclo, zhi, zlo, tPhi, tPlo,
     xh, xl, rh, rl = lax.cond(
         stalled, _pcg_rounds, lambda c: c, (xh, xl, rh, rl))
 
-    return dict(xh=xh, xl=xl, gh=gh, gl=gl, rh=rh, rl=rl,
-                ish=ish, isl=isl)
+    return dict(xh=xh, xl=xl, gh=gh, gl=gl, rh=rh, rl=rl)
 
 
 def _newton_dir_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
                        tclo_ref, zhi_ref, zlo_ref, tPhi_ref, tPlo_ref,
                        dxhi_ref, dxlo_ref, ghi_ref, glo_ref, rn_ref,
-                       l_ref, dinv_ref, x_ref,
-                       *, nb: int, refine: int, has_P: bool, r: int):
+                       l_ref, dinv_ref, x_ref, vec_ref,
+                       *, nb: int, nck: int, refine: int, has_P: bool,
+                       r: int):
     out = _direction_core(
-        Chi_ref[:], Clo_ref[:], dhi_ref[:], dlo_ref[:], tchi_ref[:],
+        Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref[:],
         tclo_ref[:], zhi_ref[:], zlo_ref[:], tPhi_ref[:], tPlo_ref[:],
-        l_ref, dinv_ref, x_ref,
-        nb=nb, refine=refine, has_P=has_P, r=r)
+        l_ref, dinv_ref, x_ref, vec_ref,
+        nb=nb, nck=nck, refine=refine, has_P=has_P, r=r)
     dxhi_ref[:] = out["xh"]
     dxlo_ref[:] = out["xl"]
     ghi_ref[:] = out["gh"]
@@ -361,9 +402,9 @@ def _phi_stable(y):
 def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
                         tclo_ref, zhi_ref, zlo_ref, tPhi_ref, tPlo_ref,
                         sig_ref, xnh_ref, xnl_ref, stats_ref,
-                        l_ref, dinv_ref, x_ref,
-                        *, nb: int, refine: int, has_P: bool, r: int,
-                        alpha: float):
+                        l_ref, dinv_ref, x_ref, vec_ref,
+                        *, nb: int, nck: int, refine: int, has_P: bool,
+                        r: int, alpha: float):
     """Full Newton step: direction + closed-form backtracking line search.
 
     Replaces the engine's f64 candidate sweep (ops/barrier.py ls_objs):
@@ -375,22 +416,16 @@ def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
     Selection = largest accepted sigma, identical to the reference's
     sequential shrink (reference: NewtonSolver.py:157-206).
     """
-    Chi, Clo = Chi_ref[:], Clo_ref[:]
     zhi, zlo = zhi_ref[:], zlo_ref[:]
     tPhi, tPlo = tPhi_ref[:], tPlo_ref[:]
     out = _direction_core(
-        Chi, Clo, dhi_ref[:], dlo_ref[:], tchi_ref[:], tclo_ref[:],
-        zhi, zlo, tPhi, tPlo, l_ref, dinv_ref, x_ref,
-        nb=nb, refine=refine, has_P=has_P, r=r)
+        Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref[:], tclo_ref[:],
+        zhi, zlo, tPhi, tPlo, l_ref, dinv_ref, x_ref, vec_ref,
+        nb=nb, nck=nck, refine=refine, has_P=has_P, r=r)
     xh, xl = out["xh"], out["xl"]
     gh, gl = out["gh"], out["gl"]
-    ish, isl = out["ish"], out["isl"]
     sig = sig_ref[:]                                  # (1, J) f32
-
-    # u = (C dx) / s  (dd -> f32), padded rows give u = 0 -> phi = 0
-    cdh, cdl = dd.dd_matvec_cols(Chi, Clo, xh, xl)
-    uh, _ul = dd.dd_mul(cdh, cdl, ish, isl)           # (kp, 1)
-    u32 = uh
+    J = sig.shape[1]
 
     # g.dx (dd scalar) and optional q2 = t/2 dx.P dx
     gxh, gxl = dd.dd_mul(gh, gl, xh, xl)
@@ -404,10 +439,24 @@ def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
     else:
         q2 = jnp.zeros((), jnp.float32)
 
-    # candidate sweep, all f32: y = sigma_j * u_i, shape (kp, J)
-    y = u32 * sig
-    phisum = jnp.sum(_phi_stable(y), axis=0, keepdims=True)    # (1, J)
-    umax = jnp.max(u32)
+    # candidate sweep, chunked over C's rows: u = (C dx)/s in dd -> f32,
+    # y = sigma_j * u_i per chunk, accumulate sum phi(y) and max(u)
+    def sw_body(ic, acc):
+        phis, um = acc
+        i0 = pl.multiple_of(ic * CH, CH)
+        ch = Chi_ref[pl.ds(i0, CH), :]
+        cl = Clo_ref[pl.ds(i0, CH), :]
+        yh_c, yl_c = dd.dd_matvec_cols(ch, cl, xh, xl)
+        uh_c, _ = dd.dd_mul(yh_c, yl_c, vec_ref[pl.ds(i0, CH), 4:5],
+                            vec_ref[pl.ds(i0, CH), 5:6])
+        u32 = uh_c                                     # (CH, 1)
+        y = u32 * sig                                  # (CH, J)
+        phis = phis + jnp.sum(_phi_stable(y), axis=0, keepdims=True)
+        return phis, jnp.maximum(um, jnp.max(u32))
+
+    phisum, umax = lax.fori_loop(
+        0, nck, sw_body,
+        (jnp.zeros((1, J), jnp.float32), jnp.float32(-jnp.inf)))
     domain = (sig * umax) < (1.0 - 1e-6)
     armijo = (sig * ((1.0 - alpha) * gdx32) + sig * sig * q2
               + phisum[0:1, :]) <= 0.0
@@ -431,18 +480,23 @@ def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
     stats_ref[0, 7] = q2
 
 
+def _padk(k: int) -> int:
+    """Row padding for C: multiple of the chunk size CH."""
+    return max(CH, -(-k // CH) * CH)
+
+
 def supported(k: int, r: int, has_P: bool) -> bool:
     """Whether the all-VMEM kernel fits TPU v5e's 128 MB VMEM.
 
-    Empirical: peak scoped liveness is dominated by the (kp, rp) dd
-    temporaries (~13-16 live f32 buffers inside fused dd expressions).
-    Measured: LP (4480x512, no P) fits at 2.29M words; QP (4096x512 with
-    P) OOMs at 134.6M/128M bytes.  Larger problems use the staged XLA
-    path until the dd matvecs are chunked over row blocks.
+    With chunked passes over C (CH-row slabs), peak liveness is the C
+    input pair + H/L/P blocks + ~a dozen (CH, rp) slab temporaries.
     """
-    kp, rp = _pad(k), _pad(r)
-    cap_words = 1_900_000 if has_P else 2_300_000
-    return kp * rp <= cap_words and rp <= 1024
+    kp, rp = _padk(k), _pad(r)
+    words = (2 * kp * rp                      # Chi/Clo inputs
+             + (4 + (2 if has_P else 0)) * rp * rp   # Hs, L, [tP pair]
+             + 14 * CH * rp                   # slab dd temporaries
+             + 10 * kp)                       # vec_ref and (kp,1) vectors
+    return words * 4 <= 110 * 1024 * 1024 and rp <= 1536
 
 
 class ReducedConsts(typing.NamedTuple):
@@ -463,7 +517,7 @@ def _pad2(a, m, n):
 def prep_reduced_consts(C, d) -> ReducedConsts:
     """Split/pad the (C, d) inequality block once per solve."""
     k, r = C.shape
-    kp, rp = _pad(k), _pad(r)
+    kp, rp = _padk(k), _pad(r)
     Chi, Clo = dd.split_f64(_pad2(C, kp, rp))
     dcol = _pad2(d[:, None], kp, 1)
     # padded slack rows fixed at 1 (finite logs/reciprocals)
@@ -482,6 +536,8 @@ def reduced_newton_dir_prepared(consts: ReducedConsts, tc, z, tP=None, *,
     k, r = consts.k, consts.r
     rp = _pad(r)
     nb = rp // BLK
+    kp = consts.Chi.shape[0]
+    nck = kp // CH
     f64 = tc.dtype
 
     Chi, Clo, dhi, dlo = consts.Chi, consts.Clo, consts.dhi, consts.dlo
@@ -493,7 +549,8 @@ def reduced_newton_dir_prepared(consts: ReducedConsts, tc, z, tP=None, *,
         tPhi = tPlo = jnp.zeros((BLK, BLK), jnp.float32)
 
     kernel = functools.partial(
-        _newton_dir_kernel, nb=nb, refine=refine, has_P=tP is not None, r=r)
+        _newton_dir_kernel, nb=nb, nck=nck, refine=refine,
+        has_P=tP is not None, r=r)
     # Kernel internals are pure f32; trace them with x64 disabled — Mosaic's
     # TPU lowering infinitely recurses on some x64-weak-typed literals
     # (observed on jax 0.9.0).
@@ -514,6 +571,7 @@ def reduced_newton_dir_prepared(consts: ReducedConsts, tc, z, tP=None, *,
                 pltpu.VMEM((rp, rp), jnp.float32),
                 pltpu.VMEM((rp, BLK), jnp.float32),
                 pltpu.VMEM((1, rp), jnp.float32),
+                pltpu.VMEM((kp, 8), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024),
@@ -545,6 +603,8 @@ def reduced_newton_step_prepared(consts: ReducedConsts, tc, z, tP, sigmas,
     k, r = consts.k, consts.r
     rp = _pad(r)
     nb = rp // BLK
+    kp = consts.Chi.shape[0]
+    nck = kp // CH
     f64 = tc.dtype
 
     tchi, tclo = dd.split_f64(_pad2(tc[None, :], 1, rp))
@@ -562,8 +622,8 @@ def reduced_newton_step_prepared(consts: ReducedConsts, tc, z, tP, sigmas,
         sigmas.astype(jnp.float32))
 
     kernel = functools.partial(
-        _newton_step_kernel, nb=nb, refine=refine, has_P=tP is not None,
-        r=r, alpha=float(alpha))
+        _newton_step_kernel, nb=nb, nck=nck, refine=refine,
+        has_P=tP is not None, r=r, alpha=float(alpha))
     with jax.enable_x64(False):
         xnh, xnl, stats = pl.pallas_call(
             kernel,
@@ -579,6 +639,7 @@ def reduced_newton_step_prepared(consts: ReducedConsts, tc, z, tP, sigmas,
                 pltpu.VMEM((rp, rp), jnp.float32),
                 pltpu.VMEM((rp, BLK), jnp.float32),
                 pltpu.VMEM((1, rp), jnp.float32),
+                pltpu.VMEM((kp, 8), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024),
