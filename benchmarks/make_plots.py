@@ -1,0 +1,70 @@
+"""Generate benchmark plots from benchmarks/results CSVs.
+
+Analogue of the reference's parseAndPlot.py module-level plot regeneration
+(reference: parseAndPlot.py:513-516): reads the reference-format CSVs
+written by run_benchmarks.py and renders timing/accuracy plots into
+benchmarks/plots/.
+"""
+
+import os
+import sys
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from interiorpoint_tpu.utils.csvio import read_results
+from interiorpoint_tpu.utils.plotting import (
+    calculate_average_relative_error, plot_timing_comparison)
+
+RESULTS = os.path.join(os.path.dirname(__file__), "results")
+PLOTS = os.path.join(os.path.dirname(__file__), "plots")
+DIMS = [100, 500, 1000]
+
+
+def main():
+    os.makedirs(PLOTS, exist_ok=True)
+    for suite in ("LP", "QP", "SOCP"):
+        path = os.path.join(RESULTS, f"testResults_tpu_{suite}.csv")
+        if not os.path.exists(path):
+            continue
+        t = read_results(path)
+        series = [t]
+        labels = ["interiorpoint-tpu (v5e)"]
+        orc = os.path.join(RESULTS, f"testResults_oracle_{suite}.csv")
+        if os.path.exists(orc):
+            series.append(read_results(orc))
+            labels.append("oracle (scipy-HiGHS)")
+        ax = plot_timing_comparison(series, DIMS, labels=labels,
+                                    title=f"{suite} solve time vs n")
+        ax.figure.savefig(os.path.join(PLOTS, f"{suite.lower()}_timing.png"),
+                          dpi=120, bbox_inches="tight")
+        plt.close(ax.figure)
+        print(f"{suite}: wrote timing plot")
+
+    # LP accuracy vs oracle
+    tv = os.path.join(RESULTS, "testResults_tpu_LPValues.csv")
+    ov = os.path.join(RESULTS, "testResults_oracle_LPValues.csv")
+    if os.path.exists(tv) and os.path.exists(ov):
+        err = calculate_average_relative_error(read_results(ov),
+                                               read_results(tv))
+        print(f"LP average relative error vs oracle: {err:.3e}")
+        with open(os.path.join(RESULTS, "lp_accuracy.txt"), "w") as f:
+            f.write(f"LP average relative error vs scipy-HiGHS: {err:.6e}\n")
+
+    lt = os.path.join(RESULTS, "testResults_tpu_LASSOTimes.csv")
+    if os.path.exists(lt):
+        t = read_results(lt)
+        ax = plot_timing_comparison([t], DIMS,
+                                    labels=["interiorpoint-tpu (v5e)"],
+                                    title="LASSO (30 batched) solve time vs n")
+        ax.figure.savefig(os.path.join(PLOTS, "lasso_timing.png"),
+                          dpi=120, bbox_inches="tight")
+        plt.close(ax.figure)
+        print("LASSO: wrote timing plot")
+
+
+if __name__ == "__main__":
+    main()
