@@ -175,10 +175,14 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
         if use_fused:
             # One kernel = direction + line search (ops/pallas_newton.py);
             # the f64 candidate sweep disappears from the critical path.
-            x_new, nd, _sigma, any_acc, _rn = (
+            x_new, nd, _sigma, any_acc, dir_ok = (
                 pallas_newton.reduced_newton_step_prepared(
                     consts, tc, s.x, tP, sigmas, alpha=cfg.alpha,
                     refine=cfg.pallas_refine))
+            # An inaccurate direction (ill-conditioned stall) makes the
+            # decrement read small prematurely; only trust convergence
+            # when the direction residual is small.
+            nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
         else:
             g = oracle.grad(s.x, t)
             H = oracle.hess(s.x, t)

@@ -356,8 +356,10 @@ def _direction_core(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi, tclo,
     stalled = rn2 > 1e-12 * bn2
     xh, xl, rh, rl = lax.cond(
         stalled, _pcg_rounds, lambda c: c, (xh, xl, rh, rl))
+    rn2 = jnp.sum((rh * dsc_r) ** 2)
 
-    return dict(xh=xh, xl=xl, gh=gh, gl=gl, rh=rh, rl=rl)
+    return dict(xh=xh, xl=xl, gh=gh, gl=gl, rh=rh, rl=rl,
+                rn2=rn2, bn2=bn2)
 
 
 def _newton_dir_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
@@ -375,7 +377,7 @@ def _newton_dir_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
     dxlo_ref[:] = out["xl"]
     ghi_ref[:] = out["gh"]
     glo_ref[:] = out["gl"]
-    rn_ref[0, 0] = jnp.sum(out["rh"] * out["rh"])
+    rn_ref[0, 0] = out["rn2"]
 
 
 def _phi_stable(y):
@@ -474,9 +476,12 @@ def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
     stats_ref[0, 1] = -0.5 * gxl[0, 0]               # Newton decrement lo
     stats_ref[0, 2] = sigma
     stats_ref[0, 3] = any_acc.astype(jnp.float32)
-    stats_ref[0, 4] = jnp.sum(out["rh"] * out["rh"])  # direction residual
+    # scaled direction residual and gradient norms: the engine only trusts
+    # the Newton-decrement convergence test when rn2 << bn2 (an inaccurate
+    # dx makes nd = -g.dx/2 read small prematurely -> de-centered exits)
+    stats_ref[0, 4] = out["rn2"]
     stats_ref[0, 5] = gdx32
-    stats_ref[0, 6] = umax
+    stats_ref[0, 6] = out["bn2"]
     stats_ref[0, 7] = q2
 
 
@@ -651,8 +656,10 @@ def reduced_newton_step_prepared(consts: ReducedConsts, tc, z, tP, sigmas,
     nd = (stats[0, 0].astype(f64) + stats[0, 1].astype(f64))
     sigma = stats[0, 2]
     any_acc = stats[0, 3] > 0.5
-    rn = stats[0, 4]
-    return x_new, nd, sigma, any_acc, rn
+    # dir_ok: relative (scaled) direction residual below 1e-2 -> the
+    # Newton decrement is trustworthy to ~1%
+    dir_ok = stats[0, 4] <= 1e-4 * stats[0, 6] + 1e-30
+    return x_new, nd, sigma, any_acc, dir_ok
 
 
 def reduced_newton_dir(C, d, tc, z, tP=None, *, refine: int = 3,
