@@ -72,23 +72,39 @@ def affine_elimination(A, b, seed: int = 0) -> AffineBasis:
     rank-deficient A surfaces as a non-finite factor → caller falls back
     to the full-space engine).
 
-    One-time cost: one m×m Cholesky + O(mn(n−m)) of matmuls — amortized
-    over the whole interior-point solve.
+    Runs on the HOST in LAPACK float64: this is one-time setup, and on
+    the TPU path the device alternative (_elimination_core, kept below
+    for reference) costs minutes of emulated-f64 compile + transfer at
+    n≳2000 while a host QR takes seconds and is exactly orthogonal.
+    Only the three small results (N, x_p, AAᵀ) are shipped to device.
     """
-    A = jnp.asarray(A)
-    b = jnp.asarray(b)
-    m, n = A.shape
+    del seed  # the host QR needs no random probe block
+    dtype = getattr(A, "dtype", np.float64)
+    A_h = np.asarray(A, dtype=np.float64)
+    b_h = np.asarray(b, dtype=np.float64)
+    m, n = A_h.shape
     r = n - m
     if r <= 0:
         raise ValueError("null-space elimination requires m < n")
 
-    # Deterministic Gaussian block from host RNG; the projection,
-    # CholeskyQR² orthonormalization, and re-projection run as one jitted
-    # program (see _elimination_core).
-    G = jnp.asarray(
-        np.random.default_rng(seed).standard_normal((n, r)), dtype=A.dtype)
-    N, x_p, AAt = _elimination_core(A, b, G)
-    return AffineBasis(N=N, x_p=x_p, AAt=AAt)
+    from scipy.linalg import qr, solve_triangular
+
+    # Full QR of Aᵀ: columns m: of Q span null(A) exactly; with
+    # Aᵀ = QR, x_p = Q₁ R₁⁻ᵀ b is the min-norm particular solution.
+    Q, R = qr(A_h.T, mode="full")
+    diag = np.abs(np.diag(R[:m, :m]))
+    if diag.min() <= max(m, n) * np.finfo(np.float64).eps * diag.max():
+        # Rank-deficient: surface the caller's fallback convention.
+        nan = jnp.full((n, r), jnp.nan, dtype=dtype)
+        return AffineBasis(N=nan, x_p=jnp.full((n,), jnp.nan, dtype=dtype),
+                           AAt=jnp.asarray(A_h @ A_h.T, dtype=dtype))
+    w = solve_triangular(R[:m, :m].T, b_h, lower=True)
+    x_p = Q[:, :m] @ w
+    N = Q[:, m:]
+    AAt = A_h @ A_h.T
+    return AffineBasis(N=jnp.asarray(N, dtype=dtype),
+                       x_p=jnp.asarray(x_p, dtype=dtype),
+                       AAt=jnp.asarray(AAt, dtype=dtype))
 
 
 def recover_equality_dual(basis: AffineBasis, A, g_full):
