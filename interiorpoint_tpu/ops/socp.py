@@ -29,11 +29,56 @@ import jax
 import jax.numpy as jnp
 
 from .barrier import Oracle, SLACK_EPS, SOCP_SLACK_EPS
+from .dd import dd_mul, dd_reduce, join_f64, split_f64
 
 # Cache per-cone AᵀA + ccᵀ (K, n, n) when it fits comfortably; otherwise
 # recompute the weighted sum per iteration from the stacked (K·M, n) matrix.
 # (reference always caches: FunctionManager.py:869-894.)
 _CACHE_LIMIT_ELEMENTS = 2 ** 28  # 2 GiB in float64
+
+
+# ---------------------------------------------------------------------------
+# Double-float (split-f32) contraction paths.
+#
+# On TPU, float64 is emulated and the cone oracle's per-step einsums over the
+# (K, M, n) tensor dominate the Newton step (profiled on v5e at n=1000:
+# grad 4.3 ms, hess 7.5 ms, line search 4.2 ms — 17 ms/step total, vs
+# 0.5 ms/step for the fused LP kernel).  The contractions below run as
+# VPU double-float arithmetic (ops/dd.py, ~4e-15 relative — f64-equivalent
+# for these magnitudes) on statically pre-split operands, and the Hessian's
+# weighted curvature as f32 MXU matmuls (~6e-8 relative — curvature only
+# steers the Newton direction; residuals and objectives stay dd/f64).
+# ---------------------------------------------------------------------------
+
+
+def _use_dd(prob) -> bool:
+    return (jax.default_backend() == "tpu"
+            and prob.A.dtype == jnp.float64)
+
+
+def _dd_mv(Mhi, Mlo, x):
+    """dd einsum('...mn,n->...m') with statically split M and f64 x."""
+    xhi, xlo = split_f64(x)
+    ph, pl = dd_mul(Mhi, Mlo, xhi, xlo)
+    h, l = dd_reduce(ph, pl, axis=Mhi.ndim - 1)
+    return join_f64(h[..., 0], l[..., 0])
+
+
+def _dd_aty(Ahi, Alo, y):
+    """dd einsum('kmn,km->kn') with statically split A and f64 y."""
+    yhi, ylo = split_f64(y)
+    ph, pl = dd_mul(Ahi, Alo, yhi[:, :, None], ylo[:, :, None])
+    h, l = dd_reduce(ph, pl, axis=1)
+    return join_f64(h[:, 0, :], l[:, 0, :])
+
+
+def _split_gram(Gw, dtype):
+    """Gwᵀ Gw over the cone axis as three f32 MXU matmuls (~6e-8 rel)."""
+    gh, gl = split_f64(Gw)
+    H = (jnp.matmul(gh.T, gh).astype(dtype)
+         + jnp.matmul(gh.T, gl).astype(dtype)
+         + jnp.matmul(gl.T, gh).astype(dtype))
+    return H
 
 
 def _cone_parts(prob, x):
@@ -82,16 +127,51 @@ def _weighted_curvature(prob, ata_cct, w):
     return B.T @ B + cw.T @ cw
 
 
-def make_socp_oracle(prob) -> Oracle:
+def make_socp_oracle(prob, dd=None) -> Oracle:
     n = prob.n
     K = prob.num_cones
     bounded = prob.lb is not None or prob.ub is not None
     ata_cct = _make_ata_cct(prob)
+    use_dd = _use_dd(prob) if dd is None else dd
+
+    if use_dd:
+        # Static splits, hoisted out of the solve loops (the oracle is
+        # built once, before barrier_solve's while_loops).
+        Ahi, Alo = split_f64(prob.A)
+        ata_hi = ata_lo = None
+        if ata_cct is not None:
+            ata_hi, ata_lo = split_f64(ata_cct)
+        Phi = Plo = None
+        if prob.P is not None:
+            Phi, Plo = split_f64(prob.P)
+
+    def _Ax(x):
+        """einsum('kmn,n->km') — the hot (K, M, n) contraction."""
+        if use_dd:
+            return _dd_mv(Ahi, Alo, x)
+        return jnp.einsum("kmn,n->km", prob.A, x)
+
+    def _ATy(y):
+        """einsum('kmn,km->kn')."""
+        if use_dd:
+            return _dd_aty(Ahi, Alo, y)
+        return jnp.einsum("kmn,km->kn", prob.A, y)
+
+    def _Px(x):
+        if use_dd:
+            return _dd_mv(Phi, Plo, x)
+        return prob.P @ x
+
+    def _parts(x):
+        lhs = _Ax(x) + prob.b                                   # (K, M)
+        rhs = prob.c @ x + prob.d                               # (K,)
+        slack = rhs**2 - jnp.sum(lhs**2, axis=-1)               # (K,)
+        return lhs, rhs, slack
 
     def obj(x):
         val = jnp.zeros((), dtype=x.dtype)
         if prob.P is not None:
-            val = val + 0.5 * x @ (prob.P @ x)
+            val = val + 0.5 * x @ _Px(x)
         if prob.q is not None:
             val = val + prob.q @ x
         return val
@@ -99,7 +179,7 @@ def make_socp_oracle(prob) -> Oracle:
     def _lin_grad(x):
         g = jnp.zeros((n,), dtype=x.dtype)
         if prob.P is not None:
-            g = g + prob.P @ x
+            g = g + _Px(x)
         if prob.q is not None:
             g = g + prob.q
         return g
@@ -107,10 +187,20 @@ def make_socp_oracle(prob) -> Oracle:
     def _G(lhs, rhs):
         """Per-cone ∇slack/(-2) = A_kᵀ lhs_k − c_k rhs_k, stacked (K, n)
         (reference: FunctionManager.py:1125-1135 s_grad_term)."""
-        return jnp.einsum("kmn,km->kn", prob.A, lhs) - prob.c * rhs[:, None]
+        return _ATy(lhs) - prob.c * rhs[:, None]
+
+    def _curvature(w):
+        if use_dd and ata_hi is not None:
+            wmax = jnp.maximum(jnp.max(jnp.abs(w)),
+                               jnp.finfo(w.dtype).tiny)
+            ws = (w / wmax).astype(jnp.float32)
+            Hs = (jnp.einsum("k,knl->nl", ws, ata_hi)
+                  + jnp.einsum("k,knl->nl", ws, ata_lo))
+            return wmax * Hs.astype(w.dtype)
+        return _weighted_curvature(prob, ata_cct, w)
 
     def grad(x, t):
-        lhs, rhs, slack = _cone_parts(prob, x)
+        lhs, rhs, slack = _parts(x)
         w = 2.0 / (slack + SOCP_SLACK_EPS)
         g = t * _lin_grad(x) + w @ _G(lhs, rhs)
         if prob.lb is not None:
@@ -120,11 +210,14 @@ def make_socp_oracle(prob) -> Oracle:
         return g
 
     def hess(x, t):
-        lhs, rhs, slack = _cone_parts(prob, x)
+        lhs, rhs, slack = _parts(x)
         w = 2.0 / (slack + SOCP_SLACK_EPS)
-        H = _weighted_curvature(prob, ata_cct, w)
+        H = _curvature(w)
         Gw = w[:, None] * _G(lhs, rhs)            # (K, n)
-        H = H + Gw.T @ Gw                         # Σ_k outer(g_k, g_k)
+        if use_dd:
+            H = H + _split_gram(Gw, x.dtype)      # Σ_k outer(g_k, g_k)
+        else:
+            H = H + Gw.T @ Gw
         if prob.P is not None:
             H = H + t * prob.P
         if bounded:
@@ -139,14 +232,14 @@ def make_socp_oracle(prob) -> Oracle:
     def newton_obj(x, t):
         """Barrier sums cone + bound slacks only; the appended rhs entries
         are domain-only (reference: FunctionManager.py:1042-1050)."""
-        _, _, slack = _cone_parts(prob, x)
+        _, _, slack = _parts(x)
         val = t * obj(x) - jnp.sum(jnp.log(slack + SLACK_EPS))
         for p in _bound_slack_parts(prob, x):
             val = val - jnp.sum(jnp.log(p + SLACK_EPS))
         return val
 
     def min_slack(x):
-        lhs, rhs, slack = _cone_parts(prob, x)
+        lhs, rhs, slack = _parts(x)
         parts = [slack] + _bound_slack_parts(prob, x) + [rhs]
         return jnp.min(jnp.concatenate([p.reshape(-1) for p in parts]))
 
@@ -156,8 +249,8 @@ def make_socp_oracle(prob) -> Oracle:
         slack(σ) = s0 + σ·p1 + σ²·p2 with p1 = 2(rhs·cdx − Σ lhs·lhsdx),
         p2 = cdx² − Σ lhsdx².
         """
-        lhs, rhs, s0 = _cone_parts(prob, x)
-        lhsdx = jnp.einsum("kmn,n->km", prob.A, dx)
+        lhs, rhs, s0 = _parts(x)
+        lhsdx = _Ax(dx)
         cdx = prob.c @ dx
         p1 = 2.0 * (rhs * cdx - jnp.sum(lhs * lhsdx, axis=-1))
         p2 = cdx**2 - jnp.sum(lhsdx**2, axis=-1)
@@ -189,7 +282,7 @@ def make_socp_oracle(prob) -> Oracle:
         grads = grads + g_lin[:, None]
         dlin = jnp.zeros((n,), dtype=x.dtype)
         if prob.P is not None:
-            dlin = t * (prob.P @ dx)
+            dlin = t * _Px(dx)
         grads = grads + sigmas[None, :] * dlin[:, None]
         it = iter(bound_cands)
         if prob.ub is not None:
@@ -204,7 +297,7 @@ def make_socp_oracle(prob) -> Oracle:
         lin_term = _lin_grad(x) @ dx
         vals = t * (f0 + sigmas * lin_term)
         if prob.P is not None:
-            vals = vals + t * (0.5 * (dx @ (prob.P @ dx))) * sigmas**2
+            vals = vals + t * (0.5 * (dx @ _Px(dx))) * sigmas**2
         vals = vals - jnp.sum(jnp.log(cone_cands + SLACK_EPS), axis=0)
         for bc in bound_cands:
             vals = vals - jnp.sum(jnp.log(bc + SLACK_EPS), axis=0)

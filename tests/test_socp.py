@@ -235,3 +235,73 @@ def test_solve_socp_functional():
                      dtype="float64", x0=x0)
     assert np.isfinite(float(res.value))
     assert int(res.outer_iters) > 0
+
+
+# ---------------------------------------------------------------------------
+# dd (split-f32) oracle path: must agree with the plain-f64 oracle to dd
+# accuracy for grad/objective/line-search, and to f32-curvature accuracy
+# for the Hessian (ops/socp.py dd contraction paths).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bounds", [False, True])
+def test_socp_oracle_dd_path_matches_f64(bounds):
+    P, q, A, b, c, d, lb, ub, x0 = _random_socp(
+        n=12, m=7, K=3, bounds=bounds, seed=3)
+    prob = make_socp(A, b, c, d, P, q, None, None, lb, ub,
+                     dtype=jnp.float64)
+    o64 = make_socp_oracle(prob, dd=False)
+    odd = make_socp_oracle(prob, dd=True)
+    x = jnp.asarray(x0, jnp.float64)
+    t = jnp.asarray(7.5, jnp.float64)
+
+    g64, gdd = o64.grad(x, t), odd.grad(x, t)
+    np.testing.assert_allclose(gdd, g64, rtol=1e-12, atol=1e-12)
+
+    np.testing.assert_allclose(odd.newton_obj(x, t), o64.newton_obj(x, t),
+                               rtol=1e-13)
+    np.testing.assert_allclose(odd.min_slack(x), o64.min_slack(x),
+                               rtol=1e-13)
+
+    H64, Hdd = o64.hess(x, t), odd.hess(x, t)
+    scale = np.linalg.norm(np.asarray(H64))
+    assert np.linalg.norm(np.asarray(Hdd - H64)) <= 1e-6 * scale
+
+    dx = -jnp.asarray(np.linalg.solve(np.asarray(H64), np.asarray(g64)))
+    sigmas = jnp.asarray(0.5 ** np.arange(8), jnp.float64)
+    ok64, v64 = o64.ls_objs(x, dx, t, sigmas)
+    okdd, vdd = odd.ls_objs(x, dx, t, sigmas)
+    np.testing.assert_array_equal(np.asarray(okdd), np.asarray(ok64))
+    np.testing.assert_allclose(np.asarray(vdd)[np.asarray(ok64)],
+                               np.asarray(v64)[np.asarray(ok64)],
+                               rtol=1e-11, atol=1e-9)
+
+
+def test_socp_solve_with_dd_oracle_matches_slsqp():
+    """End-to-end solve with the dd oracle forced on (CPU)."""
+    import interiorpoint_tpu.ops.socp as socp_ops
+
+    P, q, A, b, c, d, lb, ub, x0 = _random_socp(n=10, m=6, K=3, seed=5)
+    orig = socp_ops._use_dd
+    socp_ops._use_dd = lambda prob: True
+    try:
+        s = SOCPSolver(P=P, q=q, A=A, b=b, c=c, d=d,
+                       lower_bound=None, upper_bound=None,
+                       suppress_print=True, check_cvxpy=False,
+                       epsilon=1e-8, x0=x0, t0="auto")
+        val = s.solve()
+    finally:
+        socp_ops._use_dd = orig
+
+    def f(x):
+        return 0.5 * x @ (P @ x) + q @ x
+
+    cons = [
+        {"type": "ineq",
+         "fun": (lambda x, Ai=Ai, bi=bi, ci=ci, di=di:
+                 ci @ x + di - np.linalg.norm(Ai @ x + bi))}
+        for Ai, bi, ci, di in zip(A, b, c, d)
+    ]
+    ref = minimize(f, x0, constraints=cons, method="SLSQP",
+                   options={"maxiter": 500, "ftol": 1e-12})
+    assert abs(val - ref.fun) <= 1e-5 * max(1.0, abs(ref.fun))
