@@ -81,6 +81,40 @@ def _split_gram(Gw, dtype):
     return H
 
 
+def _cone_contractions(prob, ata_cct, use_dd):
+    """(_Ax, _ATy, _curvature) closures over statically split operands —
+    shared by the main and phase-one SOCP oracles."""
+    if use_dd:
+        Ahi, Alo = split_f64(prob.A)
+        ata_hi = ata_lo = None
+        if ata_cct is not None:
+            ata_hi, ata_lo = split_f64(ata_cct)
+
+    def _Ax(x):
+        """einsum('kmn,n->km') — the hot (K, M, n) contraction."""
+        if use_dd:
+            return _dd_mv(Ahi, Alo, x)
+        return jnp.einsum("kmn,n->km", prob.A, x)
+
+    def _ATy(y):
+        """einsum('kmn,km->kn')."""
+        if use_dd:
+            return _dd_aty(Ahi, Alo, y)
+        return jnp.einsum("kmn,km->kn", prob.A, y)
+
+    def _curvature(w):
+        if use_dd and ata_hi is not None:
+            wmax = jnp.maximum(jnp.max(jnp.abs(w)),
+                               jnp.finfo(w.dtype).tiny)
+            ws = (w / wmax).astype(jnp.float32)
+            Hs = (jnp.einsum("k,knl->nl", ws, ata_hi)
+                  + jnp.einsum("k,knl->nl", ws, ata_lo))
+            return wmax * Hs.astype(w.dtype)
+        return _weighted_curvature(prob, ata_cct, w)
+
+    return _Ax, _ATy, _curvature
+
+
 def _cone_parts(prob, x):
     lhs = jnp.einsum("kmn,n->km", prob.A, x) + prob.b      # (K, M)
     rhs = prob.c @ x + prob.d                               # (K,)
@@ -134,28 +168,11 @@ def make_socp_oracle(prob, dd=None) -> Oracle:
     ata_cct = _make_ata_cct(prob)
     use_dd = _use_dd(prob) if dd is None else dd
 
-    if use_dd:
-        # Static splits, hoisted out of the solve loops (the oracle is
-        # built once, before barrier_solve's while_loops).
-        Ahi, Alo = split_f64(prob.A)
-        ata_hi = ata_lo = None
-        if ata_cct is not None:
-            ata_hi, ata_lo = split_f64(ata_cct)
-        Phi = Plo = None
-        if prob.P is not None:
-            Phi, Plo = split_f64(prob.P)
-
-    def _Ax(x):
-        """einsum('kmn,n->km') — the hot (K, M, n) contraction."""
-        if use_dd:
-            return _dd_mv(Ahi, Alo, x)
-        return jnp.einsum("kmn,n->km", prob.A, x)
-
-    def _ATy(y):
-        """einsum('kmn,km->kn')."""
-        if use_dd:
-            return _dd_aty(Ahi, Alo, y)
-        return jnp.einsum("kmn,km->kn", prob.A, y)
+    # Static splits, hoisted out of the solve loops (the oracle is built
+    # once, before barrier_solve's while_loops).
+    _Ax, _ATy, _curvature = _cone_contractions(prob, ata_cct, use_dd)
+    if use_dd and prob.P is not None:
+        Phi, Plo = split_f64(prob.P)
 
     def _Px(x):
         if use_dd:
@@ -188,16 +205,6 @@ def make_socp_oracle(prob, dd=None) -> Oracle:
         """Per-cone ∇slack/(-2) = A_kᵀ lhs_k − c_k rhs_k, stacked (K, n)
         (reference: FunctionManager.py:1125-1135 s_grad_term)."""
         return _ATy(lhs) - prob.c * rhs[:, None]
-
-    def _curvature(w):
-        if use_dd and ata_hi is not None:
-            wmax = jnp.maximum(jnp.max(jnp.abs(w)),
-                               jnp.finfo(w.dtype).tiny)
-            ws = (w / wmax).astype(jnp.float32)
-            Hs = (jnp.einsum("k,knl->nl", ws, ata_hi)
-                  + jnp.einsum("k,knl->nl", ws, ata_lo))
-            return wmax * Hs.astype(w.dtype)
-        return _weighted_curvature(prob, ata_cct, w)
 
     def grad(x, t):
         lhs, rhs, slack = _parts(x)
@@ -308,7 +315,7 @@ def make_socp_oracle(prob, dd=None) -> Oracle:
                   ls_grads=ls_grads, ls_objs=ls_objs)
 
 
-def make_phase1_socp_oracle(prob) -> Oracle:
+def make_phase1_socp_oracle(prob, dd=None) -> Oracle:
     """Phase-one oracle over z = [x, s]: min s s.t. squared-cone and bound
     slacks + s ≥ 0 (reference: FunctionManagerSOCPPhase1 at
     FunctionManager.py:1165-1460).
@@ -319,10 +326,14 @@ def make_phase1_socp_oracle(prob) -> Oracle:
     """
     n = prob.n
     ata_cct = _make_ata_cct(prob)
+    use_dd = _use_dd(prob) if dd is None else dd
+    _Ax, _ATy, _curvature = _cone_contractions(prob, ata_cct, use_dd)
 
     def _parts(z):
         x, s = z[:-1], z[-1]
-        lhs, rhs, slack = _cone_parts(prob, x)
+        lhs = _Ax(x) + prob.b
+        rhs = prob.c @ x + prob.d
+        slack = rhs**2 - jnp.sum(lhs**2, axis=-1)
         cone_sl = slack + s
         bound_sl = [p + s for p in _bound_slack_parts(prob, x)]
         return x, s, lhs, rhs, cone_sl, bound_sl
@@ -331,7 +342,7 @@ def make_phase1_socp_oracle(prob) -> Oracle:
         return z[-1]
 
     def _G(lhs, rhs):
-        return jnp.einsum("kmn,km->kn", prob.A, lhs) - prob.c * rhs[:, None]
+        return _ATy(lhs) - prob.c * rhs[:, None]
 
     def grad(z, t):
         x, s, lhs, rhs, cone_sl, bound_sl = _parts(z)
@@ -356,9 +367,12 @@ def make_phase1_socp_oracle(prob) -> Oracle:
         dtype = z.dtype
         inv_cone = 1.0 / (cone_sl + SLACK_EPS)
         w = 2.0 * inv_cone
-        Hxx = _weighted_curvature(prob, ata_cct, w)
+        Hxx = _curvature(w)
         Gw = w[:, None] * _G(lhs, rhs)
-        Hxx = Hxx + Gw.T @ Gw
+        if use_dd:
+            Hxx = Hxx + _split_gram(Gw, dtype)
+        else:
+            Hxx = Hxx + Gw.T @ Gw
         # h_xs = −Σ_k inv_k · (w_k G_k)  (reference: FunctionManager.py:1415)
         hxs = -(inv_cone @ Gw)
         hss = jnp.sum(inv_cone**2)
@@ -394,7 +408,7 @@ def make_phase1_socp_oracle(prob) -> Oracle:
     def ls_objs(z, dz, t, sigmas):
         x, s, lhs, rhs, cone_sl, bound_sl = _parts(z)
         dx, dsg = dz[:-1], dz[-1]
-        lhsdx = jnp.einsum("kmn,n->km", prob.A, dx)
+        lhsdx = _Ax(dx)
         cdx = prob.c @ dx
         p1 = 2.0 * (rhs * cdx - jnp.sum(lhs * lhsdx, axis=-1)) + dsg
         p2 = cdx**2 - jnp.sum(lhsdx**2, axis=-1)

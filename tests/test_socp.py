@@ -305,3 +305,35 @@ def test_socp_solve_with_dd_oracle_matches_slsqp():
     ref = minimize(f, x0, constraints=cons, method="SLSQP",
                    options={"maxiter": 500, "ftol": 1e-12})
     assert abs(val - ref.fun) <= 1e-5 * max(1.0, abs(ref.fun))
+
+
+def test_socp_phase1_oracle_dd_path_matches_f64():
+    P, q, A, b, c, d, lb, ub, x0 = _random_socp(
+        n=12, m=7, K=3, bounds=True, seed=9)
+    prob = make_socp(A, b, c, d, P, q, None, None, lb, ub,
+                     dtype=jnp.float64)
+    o64 = make_phase1_socp_oracle(prob, dd=False)
+    odd = make_phase1_socp_oracle(prob, dd=True)
+    z = jnp.concatenate([jnp.asarray(x0, jnp.float64),
+                         jnp.asarray([2.5], jnp.float64)])
+    t = jnp.asarray(3.0, jnp.float64)
+
+    np.testing.assert_allclose(odd.grad(z, t), o64.grad(z, t),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(odd.newton_obj(z, t), o64.newton_obj(z, t),
+                               rtol=1e-13)
+    np.testing.assert_allclose(odd.min_slack(z), o64.min_slack(z),
+                               rtol=1e-13)
+    H64, Hdd = o64.hess(z, t), odd.hess(z, t)
+    scale = np.linalg.norm(np.asarray(H64))
+    assert np.linalg.norm(np.asarray(Hdd - H64)) <= 1e-6 * scale
+
+    dz = jnp.asarray(np.linalg.solve(np.asarray(H64),
+                                     -np.asarray(o64.grad(z, t))))
+    sigmas = jnp.asarray(0.5 ** np.arange(8), jnp.float64)
+    ok64, v64 = o64.ls_objs(z, dz, t, sigmas)
+    okdd, vdd = odd.ls_objs(z, dz, t, sigmas)
+    np.testing.assert_array_equal(np.asarray(okdd), np.asarray(ok64))
+    np.testing.assert_allclose(np.asarray(vdd)[np.asarray(ok64)],
+                               np.asarray(v64)[np.asarray(ok64)],
+                               rtol=1e-11, atol=1e-9)
