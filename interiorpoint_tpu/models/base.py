@@ -352,13 +352,16 @@ class BarrierDriver:
 
         if res.phase1 is not None and np.isfinite(res.phase1.s):
             # phase one actually ran
-            if not self.suppress_print:
-                print(f"found a feasible point with slack {res.phase1.s}")
             if res.phase1.s > -self.cfg.phase1_tol:
                 raise ValueError(
                     "Phase 1 Solver did not successfully find a feasible "
-                    "point!"
+                    f"point (final slack {float(res.phase1.s):.6g} after "
+                    f"{int(res.phase1.outer_iters)} barrier stages) — the "
+                    "problem may be infeasible, or needs more "
+                    "max_outer_iters / a closer x0."
                 )
+            if not self.suppress_print:
+                print(f"found a feasible point with slack {res.phase1.s}")
 
         self._result = res
         self.outer_iters = int(res.outer_iters)

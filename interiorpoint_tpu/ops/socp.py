@@ -320,9 +320,15 @@ def make_phase1_socp_oracle(prob, dd=None) -> Oracle:
     slacks + s ≥ 0 (reference: FunctionManagerSOCPPhase1 at
     FunctionManager.py:1165-1460).
 
-    Parity note: the appended rhs entries are *not* shifted by s
-    (reference: FunctionManager.py:1258-1262 adds s to constraint_indices
-    only), so phase one requires cᵢᵀx + dᵢ ≥ 0 along its whole path.
+    Parity note: the reference leaves the appended rhs entries unshifted
+    and domain-only (FunctionManager.py:1258-1262 adds s to
+    constraint_indices only), so its phase one cannot start from any x0
+    with cᵢᵀx + dᵢ < 0.  We deviate deliberately: phase one treats
+    rhsᵢ + s ≥ 0 as REAL barrier constraints (−log(rhsᵢ+s) terms with
+    matching gradient/Hessian blocks).  Every start is then valid, the
+    iterate cannot park on the rhs boundary (a domain-only shift stalls
+    there — measured), and any s < 0 exit still certifies
+    cᵢᵀx + dᵢ > −s > 0 for the main solve's squared-cone barrier.
     """
     n = prob.n
     ata_cct = _make_ata_cct(prob)
@@ -348,8 +354,9 @@ def make_phase1_socp_oracle(prob, dd=None) -> Oracle:
         x, s, lhs, rhs, cone_sl, bound_sl = _parts(z)
         inv_cone = 1.0 / (cone_sl + SLACK_EPS)
         w = 2.0 * inv_cone
-        gx = w @ _G(lhs, rhs)
-        inv_sum = jnp.sum(inv_cone)
+        inv_rhs = 1.0 / (rhs + s + SLACK_EPS)                 # (K,)
+        gx = w @ _G(lhs, rhs) - inv_rhs @ prob.c
+        inv_sum = jnp.sum(inv_cone) + jnp.sum(inv_rhs)
         it = iter(bound_sl)
         if prob.ub is not None:
             iu = 1.0 / (next(it) + SLACK_EPS)
@@ -376,6 +383,16 @@ def make_phase1_socp_oracle(prob, dd=None) -> Oracle:
         # h_xs = −Σ_k inv_k · (w_k G_k)  (reference: FunctionManager.py:1415)
         hxs = -(inv_cone @ Gw)
         hss = jnp.sum(inv_cone**2)
+        # rhs + s barrier blocks: ∇²(−log(rhs_k+s)) contributes
+        # c_k c_kᵀ / u², c_k / u², 1 / u² with u = rhs_k + s.
+        inv_rhs = 1.0 / (rhs + s + SLACK_EPS)
+        Cw = inv_rhs[:, None] * prob.c                        # (K, n)
+        if use_dd:
+            Hxx = Hxx + _split_gram(Cw, dtype)
+        else:
+            Hxx = Hxx + Cw.T @ Cw
+        hxs = hxs + inv_rhs**2 @ prob.c
+        hss = hss + jnp.sum(inv_rhs**2)
         db = jnp.zeros((n,), dtype=dtype)
         it = iter(bound_sl)
         if prob.ub is not None:
@@ -396,13 +413,20 @@ def make_phase1_socp_oracle(prob, dd=None) -> Oracle:
     def newton_obj(z, t):
         x, s, lhs, rhs, cone_sl, bound_sl = _parts(z)
         val = t * s - jnp.sum(jnp.log(cone_sl + SLACK_EPS))
+        val = val - jnp.sum(jnp.log(rhs + s + SLACK_EPS))
         for p in bound_sl:
             val = val - jnp.sum(jnp.log(p + SLACK_EPS))
         return val
 
     def min_slack(z):
         x, s, lhs, rhs, cone_sl, bound_sl = _parts(z)
-        parts = [cone_sl] + bound_sl + [rhs]
+        # The domain-only rhs entries are shifted by s here (deviation
+        # from the reference, whose phase one keeps them unshifted and
+        # therefore cannot start from any x0 with cᵢᵀx+dᵢ < 0 —
+        # FunctionManager.py:1258-1262).  Shifting enlarges the basin:
+        # s0 = −min_slack+1 makes the start valid, and any exit with
+        # s < 0 still certifies rhs = (rhs+s) − s > 0.
+        parts = [cone_sl] + bound_sl + [rhs + s]
         return jnp.min(jnp.concatenate([p.reshape(-1) for p in parts]))
 
     def ls_objs(z, dz, t, sigmas):
@@ -414,11 +438,14 @@ def make_phase1_socp_oracle(prob, dd=None) -> Oracle:
         p2 = cdx**2 - jnp.sum(lhsdx**2, axis=-1)
         cone_cands = (cone_sl[:, None] + sigmas[None, :] * p1[:, None]
                       + (sigmas**2)[None, :] * p2[:, None])
-        rhs_cands = rhs[:, None] + sigmas[None, :] * cdx[:, None]
+        # rhs + s domain entries, shifted like min_slack (see above).
+        rhs_cands = ((rhs + s)[:, None]
+                     + sigmas[None, :] * (cdx + dsg)[:, None])
         ok = jnp.all(cone_cands > 0.0, axis=0) & jnp.all(rhs_cands > 0.0,
                                                          axis=0)
         vals = t * (s + sigmas * dsg)
         vals = vals - jnp.sum(jnp.log(cone_cands + SLACK_EPS), axis=0)
+        vals = vals - jnp.sum(jnp.log(rhs_cands + SLACK_EPS), axis=0)
         bound_d = []
         if prob.ub is not None:
             bound_d.append(-dx)

@@ -337,3 +337,41 @@ def test_socp_phase1_oracle_dd_path_matches_f64():
     np.testing.assert_allclose(np.asarray(vdd)[np.asarray(ok64)],
                                np.asarray(v64)[np.asarray(ok64)],
                                rtol=1e-11, atol=1e-9)
+
+
+def test_socp_phase1_recovers_from_negative_rhs_start():
+    """The reference's phase one cannot start from x0 with c_i.x + d_i < 0
+    (unshifted rhs domain entries, FunctionManager.py:1258-1262); ours
+    shifts them by s and must recover from far-out starts."""
+    rng = np.random.default_rng(21)
+    n, m, K = 40, 12, 3
+    Pp = rng.uniform(-1, 1, (m, n))
+    P = Pp.T @ Pp + np.eye(n)
+    q = rng.uniform(-1, 1, n)
+    xf = rng.normal(size=n) * 0.1
+    A, b, c, d = [], [], [], []
+    for _ in range(K):
+        A.append(rng.normal(size=(m, n)))
+        b.append(rng.normal(size=m))
+        c.append(rng.normal(size=n))
+        d.append(np.linalg.norm(A[-1] @ xf + b[-1]) - c[-1] @ xf + 1.0)
+    x0_bad = xf + 8.0 * rng.normal(size=n)
+    assert min(ci @ x0_bad + di for ci, di in zip(c, d)) < 0  # rhs < 0 start
+
+    s = SOCPSolver(P=P, q=q, A=A, b=b, c=c, d=d,
+                   lower_bound=None, upper_bound=None, suppress_print=True,
+                   check_cvxpy=False, epsilon=1e-8, x0=x0_bad, t0="auto")
+    val = s.solve()
+
+    def f(x):
+        return 0.5 * x @ (P @ x) + q @ x
+
+    cons = [
+        {"type": "ineq",
+         "fun": (lambda x, Ai=Ai, bi=bi, ci=ci, di=di:
+                 ci @ x + di - np.linalg.norm(Ai @ x + bi))}
+        for Ai, bi, ci, di in zip(A, b, c, d)
+    ]
+    ref = minimize(f, xf, constraints=cons, method="SLSQP",
+                   options={"maxiter": 800, "ftol": 1e-12})
+    assert abs(val - ref.fun) <= 1e-5 * max(1.0, abs(ref.fun))
