@@ -21,7 +21,14 @@ from interiorpoint_tpu.utils.plotting import (
 
 RESULTS = os.path.join(os.path.dirname(__file__), "results")
 PLOTS = os.path.join(os.path.dirname(__file__), "plots")
-DIMS = [100, 500, 1000]
+# Sweep dimensions, in run_benchmarks.py order; the reference CSV format
+# records only (num_tests, N), so the dims axis is recovered by slicing
+# this list to the row count (same convention as parseAndPlot.py).
+SWEEP_DIMS = [100, 500, 1000, 2000, 3000, 5000]
+
+
+def _dims_for(t):
+    return SWEEP_DIMS[:t.shape[0]]
 
 
 def main():
@@ -37,7 +44,7 @@ def main():
         if os.path.exists(orc):
             series.append(read_results(orc))
             labels.append("oracle (scipy-HiGHS)")
-        ax = plot_timing_comparison(series, DIMS, labels=labels,
+        ax = plot_timing_comparison(series, _dims_for(t), labels=labels,
                                     title=f"{suite} solve time vs n")
         ax.figure.savefig(os.path.join(PLOTS, f"{suite.lower()}_timing.png"),
                           dpi=120, bbox_inches="tight")
@@ -57,7 +64,7 @@ def main():
     lt = os.path.join(RESULTS, "testResults_tpu_LASSOTimes.csv")
     if os.path.exists(lt):
         t = read_results(lt)
-        ax = plot_timing_comparison([t], DIMS,
+        ax = plot_timing_comparison([t], _dims_for(t),
                                     labels=["interiorpoint-tpu (v5e)"],
                                     title="LASSO (30 batched) solve time vs n")
         ax.figure.savefig(os.path.join(PLOTS, "lasso_timing.png"),
