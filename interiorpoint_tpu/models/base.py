@@ -166,7 +166,8 @@ class BarrierDriver:
                      suppress_print, try_diag, track_loss,
                      get_dual_variables, phase1_tol, phase1_t0,
                      update_slacks_every, use_psd_condition=False,
-                     dtype=None, refine_steps=0, eq_gate=None):
+                     dtype=None, refine_steps=0, eq_gate=None,
+                     staged_dispatch=None):
         del update_slacks_every  # unnecessary: exact slacks are free here
         self._dtype_name = dtype or default_dtype()
         # t0="auto" scales the initial barrier parameter to the problem:
@@ -193,6 +194,7 @@ class BarrierDriver:
             eq_gate=eq_gate,
             dtype=self._dtype_name,
             refine_steps=int(refine_steps),
+            staged_dispatch=staged_dispatch,
         )
         self.suppress_print = suppress_print
         self.track_loss = track_loss

@@ -103,7 +103,8 @@ class SOCPSolver(BarrierDriver):
                  use_gpu=False, try_diag=True, track_loss=False,
                  get_dual_variables=False, phase1_tol=0,
                  use_psd_condition=False, x0=None, update_slacks_every=0,
-                 dtype=None, refine_steps=0, eq_gate=None, reduced=None):
+                 dtype=None, refine_steps=0, eq_gate=None, reduced=None,
+                 staged_dispatch=None):
         del use_gpu
         P, q, A, b, c, d, F, g, self.n = _normalize_socp_inputs(
             P, q, A, b, c, d, F, g, lower_bound, upper_bound)
@@ -123,6 +124,7 @@ class SOCPSolver(BarrierDriver):
             update_slacks_every=update_slacks_every,
             use_psd_condition=use_psd_condition, dtype=dtype,
             refine_steps=refine_steps, eq_gate=eq_gate,
+            staged_dispatch=staged_dispatch,
         )
 
         lb, ub = lower_bound, upper_bound
@@ -172,12 +174,14 @@ class SOCPSolver(BarrierDriver):
         return socp_full_slacks(self._prob, x)
 
     def _staged_heuristic(self) -> bool:
-        # The SOCP cone oracle is einsum-heavy emulated f64 on TPU: a full
-        # f64 solve at large n can exceed runtime single-execution limits,
-        # so step one barrier stage per dispatch (models/base.py).  Below
-        # n=2000 (with the auto-scaled t0 keeping stage counts small) the
-        # whole solve fits comfortably in one execution.
-        return self.n >= 2000
+        # Stage very large problems so one barrier stage per dispatch stays
+        # under runtime single-execution limits (models/base.py; the axon
+        # TPU worker kills ~60 s executions).  With the dd cone oracle
+        # (ops/socp.py) a full n=3000 solve runs ~3 s on v5e, so only
+        # n ≥ 4000 needs staging; below that the single program wins the
+        # per-stage dispatch overhead back (measured n=2000: 1.19 s single
+        # vs 2.40 s staged, identical objective).
+        return self.n >= 4000
 
     def _check_x0(self, x):
         """Cone-membership validation (reference: SOCPSolver.py:755-810)."""
