@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.problem import LPProblem, QPProblem, SOCPProblem
+from . import dd
 
 # Numerical-stability epsilons, matching the reference's constants:
 # 1e-15 added to slacks inside logs/reciprocals (FunctionManager.py:224-227,
@@ -109,11 +110,13 @@ def full_linear_slacks(prob, x):
     return jnp.concatenate([p.reshape(-1) for p in parts])
 
 
-def make_qp_oracle(prob, try_diag: bool = True) -> Oracle:
+def make_qp_oracle(prob, try_diag: bool = True, dd_override=None) -> Oracle:
     """Oracle for LP/QP barrier subproblems.
 
     ``prob`` is an LPProblem or QPProblem.  For LPProblem the quadratic term
     is absent and the linear cost is ``c``; for QPProblem it is (P, q).
+    ``dd_override`` forces the double-float contraction path on/off
+    (default: auto — TPU backend + float64).
     """
     is_qp = isinstance(prob, QPProblem)
     P = prob.P if is_qp else None
@@ -125,9 +128,51 @@ def make_qp_oracle(prob, try_diag: bool = True) -> Oracle:
     # (reference: FunctionManager.py:283-292; QP always dense because of P).
     diag = (not is_qp) and try_diag and prob.C is None and bounded
 
+    # Double-float contraction path: dd VPU matvecs (~4e-15) and a scaled
+    # f32 MXU Gram for CtD2C.  OFF BY DEFAULT for LP/QP: measured on TPU
+    # v5e at n=5000, the f32-assembled Hessian goes indefinite once
+    # kappa(H) exceeds 1/eps32 at deep barrier stages, which trips
+    # mixed_posdef_solve's exact emulated-f64 fallback on every Newton
+    # step (LP n=5000: 34 s vs 7.8 s with the f64 Gram; QP: 200 s vs
+    # 22 s).  The fix is refining against the true operator matrix-free
+    # (see kkt.py matrix-free solve) rather than assembling H in f64;
+    # dd_override=True keeps this path testable.
+    use_dd = False
+    if dd_override is not None:
+        use_dd = dd_override and not diag
+    # The dd tree-reduce matvec is a win while the (k, n) product tiles fit
+    # on-chip, but its halving folds become relayout-bound on very large
+    # operands (measured: LP n=5000, C 11000x1000, 4x SLOWER than the
+    # emulated-f64 matvec).  Matvec FLOPs are ~1/n of the Gram's anyway,
+    # so above the cutoff only the Gram uses the split path.
+    _DD_MV_LIMIT = 2 ** 22
+    dd_mv_C = use_dd and prob.C is not None and prob.C.size <= _DD_MV_LIMIT
+    dd_mv_P = use_dd and P is not None and P.size <= _DD_MV_LIMIT
+    if use_dd:
+        Chi = Clo = Phi = Plo = None
+        if prob.C is not None:
+            Chi, Clo = dd.split_f64(prob.C)
+        if dd_mv_P:
+            Phi, Plo = dd.split_f64(P)
+
+    def _Cx(x):
+        if dd_mv_C:
+            return dd.dd_mv(Chi, Clo, x)
+        return prob.C @ x
+
+    def _CTy(y):
+        if dd_mv_C:
+            return dd.dd_tmv(Chi, Clo, y)
+        return prob.C.T @ y
+
+    def _Px(x):
+        if dd_mv_P:
+            return dd.dd_mv(Phi, Plo, x)
+        return P @ x
+
     def obj(x):
         if is_qp:
-            val = 0.5 * x @ (P @ x)
+            val = 0.5 * x @ _Px(x)
             if lin is not None:
                 val = val + lin @ x
             return val
@@ -135,20 +180,41 @@ def make_qp_oracle(prob, try_diag: bool = True) -> Oracle:
 
     def _lin_grad(x):
         if is_qp:
-            g = P @ x
+            g = _Px(x)
             if lin is not None:
                 g = g + lin
             return g
         return lin
 
+    def _slack_parts(x):
+        """[d − Cx, ub − x, x − lb] via the dd matvec when enabled."""
+        parts = []
+        if prob.C is not None:
+            parts.append(prob.d - _Cx(x))
+        if prob.ub is not None:
+            parts.append(prob.ub - x)
+        if prob.lb is not None:
+            parts.append(x - prob.lb)
+        return parts
+
+    def _dslack_parts(dx):
+        parts = []
+        if prob.C is not None:
+            parts.append(_Cx(dx))
+        if prob.ub is not None:
+            parts.append(dx)
+        if prob.lb is not None:
+            parts.append(-dx)
+        return parts
+
     def _inv_slacks(x):
-        return [1.0 / (s + SLACK_EPS) for s in _linear_slack_parts(prob, x)]
+        return [1.0 / (s + SLACK_EPS) for s in _slack_parts(x)]
 
     def grad(x, t):
         g = t * _lin_grad(x)
         invs = iter(_inv_slacks(x))
         if prob.C is not None:
-            g = g + prob.C.T @ next(invs)
+            g = g + _CTy(next(invs))
         if prob.ub is not None:
             g = g + next(invs)
         if prob.lb is not None:
@@ -172,7 +238,16 @@ def make_qp_oracle(prob, try_diag: bool = True) -> Oracle:
             ic = next(invs)
             # Fused barrier-Hessian assembly CᵀD²C
             # (reference: FunctionManager.py:301-312).
-            H = H + prob.C.T @ (ic[:, None] ** 2 * prob.C)
+            if use_dd:
+                # Three scaled f32 MXU matmuls (~6e-8 rel; see use_dd note).
+                ic32 = ic.astype(jnp.float32)
+                Bh = ic32[:, None] * Chi
+                Bl = ic32[:, None] * Clo
+                H = H + (jnp.matmul(Bh.T, Bh).astype(x.dtype)
+                         + jnp.matmul(Bh.T, Bl).astype(x.dtype)
+                         + jnp.matmul(Bl.T, Bh).astype(x.dtype))
+            else:
+                H = H + prob.C.T @ (ic[:, None] ** 2 * prob.C)
         db = jnp.zeros((n,), dtype=x.dtype)
         if prob.ub is not None:
             db = db + next(invs) ** 2
@@ -184,20 +259,20 @@ def make_qp_oracle(prob, try_diag: bool = True) -> Oracle:
 
     def newton_obj(x, t):
         val = t * obj(x)
-        for s in _linear_slack_parts(prob, x):
+        for s in _slack_parts(x):
             val = val - jnp.sum(jnp.log(s + SLACK_EPS))
         return val
 
     def min_slack(x):
-        parts = _linear_slack_parts(prob, x)
+        parts = _slack_parts(x)
         if not parts:
             return jnp.asarray(jnp.inf, dtype=x.dtype)
         return jnp.min(jnp.concatenate([p.reshape(-1) for p in parts]))
 
     def _cand_slacks(x, dx, sigmas):
         """Per-segment candidate slacks, shape (seg_len, J)."""
-        s0 = _linear_slack_parts(prob, x)
-        ds = _linear_dslack_parts(prob, dx)
+        s0 = _slack_parts(x)
+        ds = _dslack_parts(dx)
         return [a[:, None] - sigmas[None, :] * b[:, None] for a, b in zip(s0, ds)]
 
     def _domain_ok(cands):

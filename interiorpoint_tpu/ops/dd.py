@@ -140,3 +140,29 @@ def dd_matvec_rows(Mhi, Mlo, yhi, ylo):
     M of shape (m, n); returns dd pair of shape (1, n)."""
     ph, pl_ = dd_mul(Mhi, Mlo, yhi, ylo)
     return dd_reduce(ph, pl_, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Plain-XLA dd contractions over statically split f64 operands.  Used by the
+# barrier oracles on TPU (ops/barrier.py, ops/socp.py) where the emulated-f64
+# einsums would otherwise dominate the Newton step; the splits are computed
+# once at oracle build and captured by the closures.
+# ---------------------------------------------------------------------------
+
+
+def dd_mv(Mhi, Mlo, x):
+    """dd ``M @ x`` reducing the LAST axis of M against f64 ``x``; returns
+    f64 of shape ``M.shape[:-1]``.  Works for (m, n) and stacked (k, m, n)."""
+    xhi, xlo = split_f64(x)
+    ph, pl_ = dd_mul(Mhi, Mlo, xhi, xlo)
+    h, l = dd_reduce(ph, pl_, axis=Mhi.ndim - 1)
+    return join_f64(h[..., 0], l[..., 0])
+
+
+def dd_tmv(Mhi, Mlo, y):
+    """dd ``M.T @ y`` for 2-D M of shape (m, n) and f64 y of shape (m,);
+    returns f64 of shape (n,)."""
+    yhi, ylo = split_f64(y)
+    ph, pl_ = dd_mul(Mhi, Mlo, yhi[:, None], ylo[:, None])
+    h, l = dd_reduce(ph, pl_, axis=0)
+    return join_f64(h[0, :], l[0, :])

@@ -145,3 +145,49 @@ def test_full_linear_slacks_order():
     np.testing.assert_allclose(s[:k], np.asarray(prob.d - prob.C @ x))
     np.testing.assert_allclose(s[k:k + n], np.asarray(prob.ub - x))
     np.testing.assert_allclose(s[k + n:], np.asarray(x - prob.lb))
+
+
+@pytest.mark.parametrize("is_qp", [False, True])
+def test_lp_qp_oracle_dd_path_matches_f64(is_qp):
+    """The dd contraction path (ops/barrier.py use_dd) must agree with the
+    plain-f64 oracle: grad/objective/slacks to dd accuracy, Hessian to
+    f32-Gram (preconditioner) accuracy."""
+    rng = np.random.default_rng(12)
+    n, m, k = 14, 6, 9
+    C = rng.standard_normal((k, n))
+    xf = rng.standard_normal(n) * 0.2
+    d = C @ xf + 1.0
+    lb, ub = np.full(n, -3.0), np.full(n, 3.0)
+    if is_qp:
+        Pp = rng.standard_normal((m, n))
+        P = Pp.T @ Pp + np.eye(n)
+        q = rng.standard_normal(n)
+        prob = make_qp(P, q, None, None, C, d, lb, ub, dtype=jnp.float64)
+    else:
+        c = rng.standard_normal(n)
+        prob = make_lp(c, None, None, C, d, lb, ub, dtype=jnp.float64)
+
+    o64 = make_qp_oracle(prob, dd_override=False)
+    odd = make_qp_oracle(prob, dd_override=True)
+    x = jnp.asarray(xf, jnp.float64)
+    t = jnp.asarray(11.0, jnp.float64)
+
+    np.testing.assert_allclose(odd.grad(x, t), o64.grad(x, t),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(odd.newton_obj(x, t), o64.newton_obj(x, t),
+                               rtol=1e-13)
+    np.testing.assert_allclose(odd.min_slack(x), o64.min_slack(x),
+                               rtol=1e-13)
+    H64, Hdd = o64.hess(x, t), odd.hess(x, t)
+    scale = np.linalg.norm(np.asarray(H64))
+    assert np.linalg.norm(np.asarray(Hdd - H64)) <= 1e-6 * scale
+
+    g = np.asarray(o64.grad(x, t))
+    dx = -jnp.asarray(np.linalg.solve(np.asarray(H64), g))
+    sigmas = jnp.asarray(0.5 ** np.arange(8), jnp.float64)
+    ok64, v64 = o64.ls_objs(x, dx, t, sigmas)
+    okdd, vdd = odd.ls_objs(x, dx, t, sigmas)
+    np.testing.assert_array_equal(np.asarray(okdd), np.asarray(ok64))
+    np.testing.assert_allclose(np.asarray(vdd)[np.asarray(ok64)],
+                               np.asarray(v64)[np.asarray(ok64)],
+                               rtol=1e-11, atol=1e-9)
