@@ -67,6 +67,11 @@ class Oracle(NamedTuple):
     # reduced.py).  Enables the fused Pallas Newton-direction kernel
     # (ops/pallas_newton.py) on TPU.
     lin_form: Optional[tuple] = None
+    # (x, t) -> (H_pre, apply_h): f32-grade Hessian assembly plus the true
+    # operator applied matrix-free in f64, for
+    # kkt.matrix_free_posdef_solve on shapes beyond the fused kernel's
+    # VMEM envelope.  None -> dense hess() + mixed_posdef_solve.
+    hess_op: Optional[callable] = None
 
 
 # ---------------------------------------------------------------------------
@@ -128,27 +133,43 @@ def make_qp_oracle(prob, try_diag: bool = True, dd_override=None) -> Oracle:
     # (reference: FunctionManager.py:283-292; QP always dense because of P).
     diag = (not is_qp) and try_diag and prob.C is None and bounded
 
-    # Double-float contraction path: dd VPU matvecs (~4e-15) and a scaled
-    # f32 MXU Gram for CtD2C.  OFF BY DEFAULT for LP/QP: measured on TPU
-    # v5e at n=5000, the f32-assembled Hessian goes indefinite once
-    # kappa(H) exceeds 1/eps32 at deep barrier stages, which trips
-    # mixed_posdef_solve's exact emulated-f64 fallback on every Newton
-    # step (LP n=5000: 34 s vs 7.8 s with the f64 Gram; QP: 200 s vs
-    # 22 s).  The fix is refining against the true operator matrix-free
-    # (see kkt.py matrix-free solve) rather than assembling H in f64;
-    # dd_override=True keeps this path testable.
-    use_dd = False
+    # Double-float contractions, two independently-gated pieces:
+    #
+    # 1. dd VPU MATVECS (~4e-15 rel — f64-equivalent) for C@x, Cᵀy, P@x.
+    #    ON by default on TPU+f64: XLA's emulated-f64 matvec lowers to
+    #    per-element VPU emulation and is brutally slow (measured v5e,
+    #    C 11000×1000: 8.3 ms C@v / 14.7 ms for the CᵀDC v pair, vs
+    #    1.6 ms per dd matvec in either axis order).
+    #
+    # 2. f32 MXU GRAM for CtD2C (dd_override only).  OFF by default:
+    #    the f32-assembled Hessian goes indefinite once kappa(H) exceeds
+    #    1/eps32 at deep barrier stages, tripping mixed_posdef_solve's
+    #    exact emulated-f64 fallback on every Newton step (LP n=5000:
+    #    34 s vs 7.8 s with the f64 Gram; QP: 200 s vs 22 s).
+    # COMPILE-TIME WALL (measured v5e, single-core XLA host): the dd
+    # tree-reduce graphs on (11000, 1000) operands inside the staged
+    # while_loop cores push XLA:TPU compilation past 60-80 minutes, even
+    # though the compiled matvec itself runs 1.6 ms vs 8-15 ms emulated.
+    # Until the reduction is restructured (fori-loop chunked folds, or the
+    # HBM-streaming kernel), dd matvecs are size-gated to operands where
+    # compile stays in the minutes range.
+    _DD_MV_LIMIT = 2 ** 22
+    on_tpu_f64 = (jax.default_backend() == "tpu" and not diag
+                  and (P if is_qp else prob.c).dtype == jnp.float64)
+    use_dd = False           # the f32 Gram (piece 2)
+    dd_mv = on_tpu_f64       # the dd matvecs (piece 1)
     if dd_override is not None:
         use_dd = dd_override and not diag
-    # The dd tree-reduce matvec is a win while the (k, n) product tiles fit
-    # on-chip, but its halving folds become relayout-bound on very large
-    # operands (measured: LP n=5000, C 11000x1000, 4x SLOWER than the
-    # emulated-f64 matvec).  Matvec FLOPs are ~1/n of the Gram's anyway,
-    # so above the cutoff only the Gram uses the split path.
-    _DD_MV_LIMIT = 2 ** 22
-    dd_mv_C = use_dd and prob.C is not None and prob.C.size <= _DD_MV_LIMIT
-    dd_mv_P = use_dd and P is not None and P.size <= _DD_MV_LIMIT
-    if use_dd:
+        dd_mv = dd_mv or use_dd
+    small_C = prob.C is not None and prob.C.size <= _DD_MV_LIMIT
+    small_P = P is not None and P.size <= _DD_MV_LIMIT
+    if dd_override is None:
+        dd_mv_C = dd_mv and small_C
+        dd_mv_P = dd_mv and small_P
+    else:
+        dd_mv_C = dd_mv and prob.C is not None
+        dd_mv_P = dd_mv and P is not None
+    if dd_mv or use_dd:
         Chi = Clo = Phi = Plo = None
         if prob.C is not None:
             Chi, Clo = dd.split_f64(prob.C)
@@ -331,9 +352,54 @@ def make_qp_oracle(prob, try_diag: bool = True, dd_override=None) -> Oracle:
     if prob.C is not None and prob.lb is None and prob.ub is None:
         lin_form = (prob.C, prob.d, lin, P)
 
+    # Matrix-free Hessian pair for kkt.matrix_free_posdef_solve: the f32
+    # MXU Gram as the factor-grade assembly, the true operator applied via
+    # f64 matvecs (k·n MACs — ~1/n of the Gram's FLOPs, cheap even
+    # emulated).  Static f32 copies are hoisted here (oracle built once).
+    hess_op = None
+    if not diag and constrained:
+        C32s = (prob.C.astype(jnp.float32) if prob.C is not None else None)
+        P32s = P.astype(jnp.float32) if P is not None else None
+
+        def hess_op(x, t):
+            invs = iter(_inv_slacks(x))
+            ic = next(invs) if prob.C is not None else None
+            iu = next(invs) if prob.ub is not None else None
+            il = next(invs) if prob.lb is not None else None
+            db = None
+            if bounded:
+                db = jnp.zeros((n,), dtype=x.dtype)
+                if iu is not None:
+                    db = db + iu**2
+                if il is not None:
+                    db = db + il**2
+
+            Hp = jnp.zeros((n, n), dtype=jnp.float32)
+            if is_qp:
+                Hp = Hp + jnp.asarray(t).astype(jnp.float32) * P32s
+            if ic is not None:
+                B32 = ic.astype(jnp.float32)[:, None] * C32s
+                Hp = Hp + jnp.matmul(
+                    B32.T, B32, precision=jax.lax.Precision.HIGHEST)
+            if db is not None:
+                Hp = Hp + jnp.diag(db.astype(jnp.float32))
+
+            def apply_h(v):
+                out = jnp.zeros_like(v)
+                if is_qp:
+                    out = out + t * _Px(v)
+                if ic is not None:
+                    out = out + _CTy((ic * ic) * _Cx(v))
+                if db is not None:
+                    out = out + db * v
+                return out
+
+            return Hp, apply_h
+
     return Oracle(n=n, diag_hessian=diag, obj=obj, grad=grad, hess=hess,
                   newton_obj=newton_obj, min_slack=min_slack,
-                  ls_grads=ls_grads, ls_objs=ls_objs, lin_form=lin_form)
+                  ls_grads=ls_grads, ls_objs=ls_objs, lin_form=lin_form,
+                  hess_op=hess_op)
 
 
 # ---------------------------------------------------------------------------

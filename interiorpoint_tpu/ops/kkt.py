@@ -159,6 +159,136 @@ def mixed_posdef_solve(H, B, extra_refine: int = 0):
     return (d * X) if vec else (d[:, None] * X)
 
 
+def matrix_free_posdef_solve(H_pre, apply_h, b, *, pcg_iters: int = 48,
+                             pcg_rounds: int = 3):
+    """Solve H x = b given a cheap preconditioner-grade assembly ``H_pre``
+    (any float dtype; may be f32-accurate or slightly indefinite) and
+    ``apply_h``, the TRUE operator applied matrix-free in f64.
+
+    This is the fused Pallas kernel's scheme (ops/pallas_newton.py) in
+    plain XLA, for shapes beyond the kernel's VMEM envelope: the O(k·n²)
+    Hessian Gram is assembled once in f32 on the MXU (by the caller), the
+    factor runs in f32 on the Jacobi-scaled system, and accuracy comes
+    entirely from f64 refinement residuals against ``apply_h`` — float64
+    never touches an O(n²)·O(n) dense factorization or assembly.  When
+    plain refinement stalls (kappa·eps32 > 1), preconditioned CG on the
+    scaled f32 operator takes over; there is NO exact-f64 fallback (the
+    accurate H is never materialized).
+
+    Returns ``(x, rel_resid)`` — callers should gate any Newton-decrement
+    convergence test on ``rel_resid`` being small (see ops/newton.py).
+    """
+    dtype = b.dtype
+    dg = jnp.diagonal(H_pre).astype(dtype)
+    dsc = 1.0 / jnp.sqrt(jnp.maximum(dg, jnp.finfo(dtype).tiny))
+    dsc32 = dsc.astype(jnp.float32)
+    Hs32 = H_pre.astype(jnp.float32) * dsc32[:, None] * dsc32[None, :]
+    L32 = robust_cholesky(Hs32)
+
+    def prec(r):
+        """Scaled-space preconditioner solve of a f64 residual."""
+        y = chol_solve(L32, (r * dsc).astype(jnp.float32)).astype(dtype)
+        return y * dsc
+
+    bnorm = jnp.linalg.norm(b * dsc)
+    x0 = prec(b)
+    r0 = b - apply_h(x0)
+    rn0 = jnp.linalg.norm(r0 * dsc)
+
+    # Refinement diverges outright once kappa(Hs)·eps32 > 1 (each sweep
+    # multiplies the error by ~kappa·eps32), so each sweep is accepted
+    # only if it reduced the scaled residual; on the first non-improving
+    # sweep we stop with the best iterate and let PCG take over.
+    def cond(c):
+        i, x, r, rn, go = c
+        return go & (rn > _MIXED_RTOL * bnorm) & (i < _MIXED_MAX_REFINE) \
+            & jnp.isfinite(rn)
+
+    def body(c):
+        i, x, r, rn, _ = c
+        x2 = x + prec(r)
+        r2 = b - apply_h(x2)
+        rn2 = jnp.linalg.norm(r2 * dsc)
+        better = jnp.isfinite(rn2) & (rn2 < rn)
+        x = jnp.where(better, x2, x)
+        r = jnp.where(better, r2, r)
+        rn_keep = jnp.where(better, rn2, rn)
+        return i + 1, x, r, rn_keep, better
+
+    _, x, r, rn, _ = lax.while_loop(
+        cond, body,
+        (jnp.zeros((), jnp.int32), x0, r0, rn0, jnp.ones((), bool)))
+
+    # Stall escalation: preconditioned CG on the scaled f32 operator
+    # (convergence ~ sqrt(kappa·eps32) instead of kappa·eps32), residuals
+    # re-measured against the true operator after each round
+    # (same scheme as ops/pallas_newton.py _pcg_rounds).
+    def _pcg(r_vec, Lp, iters):
+        """PCG on the TRUE operator in f64 (scaled space), f32 factor as
+        the preconditioner.  Crucial detail: at kappa(Hs)·eps32 ≳ 1 the
+        f32-rounded Hs itself is indefinite, so CG must iterate on the
+        f64 matrix-free operator — only the preconditioner solve is f32."""
+        rs = r_vec * dsc
+
+        def As(v):
+            return dsc * apply_h(dsc * v)
+
+        def psolve(v):
+            return chol_solve(Lp, v.astype(jnp.float32)).astype(dtype)
+
+        z0 = psolve(rs)
+
+        def pbody(_, c):
+            xx, rr, z, p, rz = c
+            Hp = As(p)
+            denom = jnp.sum(p * Hp)
+            a = rz / jnp.where(jnp.abs(denom) > 1e-300, denom, 1e-300)
+            xx = xx + a * p
+            rr = rr - a * Hp
+            z = psolve(rr)
+            rz2 = jnp.sum(rr * z)
+            beta = rz2 / jnp.where(jnp.abs(rz) > 1e-300, rz, 1e-300)
+            return xx, rr, z, p * beta + z, rz2
+
+        out = lax.fori_loop(0, iters, pbody,
+                            (jnp.zeros_like(rs), rs, z0, z0,
+                             jnp.sum(rs * z0)))
+        return dsc * out[0]
+
+    def _pcg_update(c, Lp, iters):
+        x, r, rn = c
+        x2 = x + _pcg(r, Lp, iters)
+        r2 = b - apply_h(x2)
+        rn2 = jnp.linalg.norm(r2 * dsc)
+        better = jnp.isfinite(rn2) & (rn2 < rn)
+        return (jnp.where(better, x2, x), jnp.where(better, r2, r),
+                jnp.where(better, rn2, rn))
+
+    # FLAT control flow on purpose: nesting these escalations in lax.cond
+    # branches (each duplicating the big-matvec subgraphs) blew XLA:TPU
+    # compile time past 80 minutes at n=5000 on this host.  Instead the
+    # PCG runs always exist once in the graph with a DYNAMIC trip count —
+    # zero iterations when the refinement already converged.
+    stalled = rn > 1e-10 * bnorm
+    x, r, rn = _pcg_update((x, r, rn), L32,
+                           jnp.where(stalled, pcg_iters, 0))
+
+    # Second escalation: re-factor with a diagonal shift just above the
+    # f32 rounding perturbation (~eps32·‖Hs‖).  The shifted M majorizes
+    # Hs despite rounding (a merely-rounded factor can fail to), at the
+    # price of κ_eff ≈ δ/λmin — recovered by a longer PCG run.  The extra
+    # f32 factor is computed unconditionally (~1 ms — cheap next to one
+    # emulated-f64 matvec).
+    eye32 = jnp.eye(Hs32.shape[0], dtype=jnp.float32)
+    Lsh = robust_cholesky(Hs32 + jnp.float32(1e-6) * eye32)
+    still = rn > 1e-9 * bnorm
+    x, r, rn = _pcg_update((x, r, rn), Lsh,
+                           jnp.where(still, pcg_rounds * pcg_iters, 0))
+
+    rel = rn / jnp.maximum(bnorm, jnp.finfo(dtype).tiny)
+    return x, rel
+
+
 def add_psd_conditioning(H):
     """+1e-9 on the diagonal (reference: NewtonSolver.py:269-275)."""
     return H + 1e-9 * jnp.eye(H.shape[0], dtype=H.dtype)

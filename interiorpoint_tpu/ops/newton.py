@@ -161,6 +161,17 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
                   else jnp.zeros((C_lin.shape[1],), dtype))
             tP = t * P_lin if P_lin is not None else None
 
+    # Matrix-free mixed path (TPU, f64, cholesky, beyond the kernel's VMEM
+    # envelope): factor the f32 MXU-assembled Hessian, refine the direction
+    # against the true operator in f64 (kkt.matrix_free_posdef_solve) —
+    # replaces the per-step emulated-f64 CtD2C assembly + exact-fallback
+    # Cholesky of the dense path.
+    use_mf = (not use_fused and not phase1_flag
+              and oracle.hess_op is not None and cfg.matrix_free
+              and cfg.mixed_precision and cfg.kkt_strategy == "cholesky"
+              and not oracle.diag_hessian and dtype == jnp.float64
+              and jax.default_backend() == "tpu")
+
     class S(NamedTuple):
         x: jax.Array
         it: jax.Array
@@ -185,15 +196,20 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
             nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
         else:
             g = oracle.grad(s.x, t)
-            H = oracle.hess(s.x, t)
-            dx = solve_newton_step(
-                H, g, s.x, cfg.kkt_strategy,
-                use_psd_condition=cfg.use_psd_condition,
-                refine_steps=cfg.refine_steps,
-                diag=oracle.diag_hessian,
-                max_cg_iters=cfg.max_cg_iters,
-                mixed=cfg.mixed_precision,
-            )
+            if use_mf:
+                from .kkt import matrix_free_posdef_solve
+                Hp, apply_h = oracle.hess_op(s.x, t)
+                dx, rres = matrix_free_posdef_solve(Hp, apply_h, -g)
+            else:
+                H = oracle.hess(s.x, t)
+                dx = solve_newton_step(
+                    H, g, s.x, cfg.kkt_strategy,
+                    use_psd_condition=cfg.use_psd_condition,
+                    refine_steps=cfg.refine_steps,
+                    diag=oracle.diag_hessian,
+                    max_cg_iters=cfg.max_cg_iters,
+                    mixed=cfg.mixed_precision,
+                )
 
             f0 = oracle.newton_obj(s.x, t)
             grad_check = g @ dx
@@ -203,6 +219,11 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
 
             x_new = s.x + sigma * dx
             nd = -(g @ dx) / 2.0
+            if use_mf:
+                # An inaccurate direction makes the decrement read small
+                # prematurely (same gating as the fused kernel path).
+                nd = jnp.where(rres < 1e-6, nd,
+                               jnp.maximum(nd, cfg.inner_epsilon))
 
         converged = nd < cfg.inner_epsilon
         if phase1_flag:

@@ -109,6 +109,12 @@ class SolverConfig:
     # XLA:TPU's emulated f64 Cholesky is ~64x slower than f32 (see
     # ops/kkt.py); this recovers f64 accuracy at f32 factorization cost.
     mixed_precision: bool = True
+    # Opt-in: factor the f32 MXU-assembled Hessian and refine the Newton
+    # direction matrix-free against the true operator
+    # (kkt.matrix_free_posdef_solve).  Off by default: measured on v5e at
+    # LP n=5000 the dense mixed path wins (emulated-f64 matvec cost makes
+    # the PCG escalation ~1 s/step on stalled steps).
+    matrix_free: bool = False
     # Fused Pallas Newton-direction kernel (TPU backend only): one kernel
     # per Newton step computes slacks, gradient, f32 Hessian, factorization
     # and double-float refined solve with zero emulated-f64 ops on the

@@ -95,3 +95,83 @@ def test_average_relative_error_lasso_shape():
     res = np.full((1, 2, 3), 1.1)
     err = plotting.calculate_average_relative_error(truth, res, lasso=True)
     np.testing.assert_allclose(err, 0.1, rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free mixed-precision solve (ops/kkt.py matrix_free_posdef_solve).
+# ---------------------------------------------------------------------------
+
+
+def test_matrix_free_posdef_solve_accuracy():
+    import jax.numpy as jnp
+    from interiorpoint_tpu.ops.kkt import matrix_free_posdef_solve
+
+    rng = np.random.default_rng(4)
+    n = 60
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    # kappa ~ 1e9 barrier-style spectrum
+    eigs = np.logspace(0, 9, n)
+    H = (Q * eigs) @ Q.T
+    H = 0.5 * (H + H.T)
+    b = rng.standard_normal(n)
+    Hj = jnp.asarray(H)
+    x, rel = matrix_free_posdef_solve(
+        Hj.astype(jnp.float32), lambda v: Hj @ v, jnp.asarray(b))
+    ref = np.linalg.solve(H, b)
+    err = np.linalg.norm(np.asarray(x) - ref) / np.linalg.norm(ref)
+    assert float(rel) < 1e-8
+    assert err < 1e-6
+
+
+def test_matrix_free_survives_indefinite_preconditioner():
+    """An f32-assembly-perturbed (slightly indefinite) H_pre must still
+    produce an accurate solve via the jitter ladder + refinement."""
+    import jax.numpy as jnp
+    from interiorpoint_tpu.ops.kkt import matrix_free_posdef_solve
+
+    rng = np.random.default_rng(5)
+    n = 40
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    eigs = np.logspace(0, 8, n)
+    H = (Q * eigs) @ Q.T
+    H = 0.5 * (H + H.T)
+    # perturb the preconditioner at the f32-rounding magnitude (relative
+    # to ||H||) -> possibly indefinite after scaling
+    Hp = H + rng.standard_normal((n, n)) * 1e-7 * np.linalg.norm(H, 2)
+    Hp = 0.5 * (Hp + Hp.T)
+    b = rng.standard_normal(n)
+    Hj = jnp.asarray(H)
+    x, rel = matrix_free_posdef_solve(
+        jnp.asarray(Hp).astype(jnp.float32), lambda v: Hj @ v,
+        jnp.asarray(b))
+    ref = np.linalg.solve(H, b)
+    assert float(rel) < 1e-7
+    assert np.linalg.norm(np.asarray(x) - ref) / np.linalg.norm(ref) < 1e-4
+
+
+def test_lp_qp_hess_op_matches_dense():
+    """oracle.hess_op's apply_h must equal hess(x,t)@v to f64 accuracy and
+    H_pre must match to f32-Gram accuracy."""
+    import jax.numpy as jnp
+    from interiorpoint_tpu.models.problem import make_qp
+    from interiorpoint_tpu.ops.barrier import make_qp_oracle
+
+    rng = np.random.default_rng(6)
+    n, m, k = 16, 7, 11
+    Pp = rng.standard_normal((m, n))
+    P = Pp.T @ Pp + np.eye(n)
+    C = rng.standard_normal((k, n))
+    xf = rng.standard_normal(n) * 0.1
+    prob = make_qp(P, rng.standard_normal(n), None, None, C, C @ xf + 1.0,
+                   np.full(n, -3.0), np.full(n, 3.0), dtype=jnp.float64)
+    o = make_qp_oracle(prob)
+    assert o.hess_op is not None
+    x = jnp.asarray(xf)
+    t = jnp.asarray(7.0, jnp.float64)
+    H = np.asarray(o.hess(x, t))
+    Hp, apply_h = o.hess_op(x, t)
+    v = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(apply_h(jnp.asarray(v))), H @ v,
+                               rtol=1e-11, atol=1e-9)
+    assert (np.linalg.norm(np.asarray(Hp, dtype=np.float64) - H)
+            <= 1e-6 * np.linalg.norm(H))
