@@ -146,14 +146,11 @@ def make_qp_oracle(prob, try_diag: bool = True, dd_override=None) -> Oracle:
     #    1/eps32 at deep barrier stages, tripping mixed_posdef_solve's
     #    exact emulated-f64 fallback on every Newton step (LP n=5000:
     #    34 s vs 7.8 s with the f64 Gram; QP: 200 s vs 22 s).
-    # COMPILE-TIME WALL (measured v5e, single-core XLA host): the dd
-    # tree-reduce graphs on (11000, 1000) operands inside the staged
-    # while_loop cores push XLA:TPU compilation past 60-80 minutes, even
-    # though the compiled matvec itself runs 1.6 ms vs 8-15 ms emulated.
-    # Until the reduction is restructured (fori-loop chunked folds, or the
-    # HBM-streaming kernel), dd matvecs are size-gated to operands where
-    # compile stays in the minutes range.
-    _DD_MV_LIMIT = 2 ** 22
+    # Large operands take the fori-chunked dd reduction (ops/dd.py
+    # _dd_reduce_any): the flat halving-fold graphs at (11000, 1000) blew
+    # single-core XLA:TPU compile past 60-80 minutes; the chunked path
+    # keeps the graph O(1) in the operand size, so dd matvecs are safe at
+    # every size.
     on_tpu_f64 = (jax.default_backend() == "tpu" and not diag
                   and (P if is_qp else prob.c).dtype == jnp.float64)
     use_dd = False           # the f32 Gram (piece 2)
@@ -161,14 +158,8 @@ def make_qp_oracle(prob, try_diag: bool = True, dd_override=None) -> Oracle:
     if dd_override is not None:
         use_dd = dd_override and not diag
         dd_mv = dd_mv or use_dd
-    small_C = prob.C is not None and prob.C.size <= _DD_MV_LIMIT
-    small_P = P is not None and P.size <= _DD_MV_LIMIT
-    if dd_override is None:
-        dd_mv_C = dd_mv and small_C
-        dd_mv_P = dd_mv and small_P
-    else:
-        dd_mv_C = dd_mv and prob.C is not None
-        dd_mv_P = dd_mv and P is not None
+    dd_mv_C = dd_mv and prob.C is not None
+    dd_mv_P = dd_mv and P is not None
     if dd_mv or use_dd:
         Chi = Clo = Phi = Plo = None
         if prob.C is not None:

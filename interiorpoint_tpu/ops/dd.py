@@ -17,6 +17,7 @@ work identically inside Pallas kernels and in plain XLA.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 # Dekker split constant for float32 (24-bit mantissa): 2^12 + 1.
 _SPLIT = 4097.0
@@ -150,12 +151,53 @@ def dd_matvec_rows(Mhi, Mlo, yhi, ylo):
 # ---------------------------------------------------------------------------
 
 
+# Above this many elements in the product array, the flat halving-fold
+# reduction's ~log2(axis) concat stages on huge operands blow single-core
+# XLA:TPU compile time (measured: 60-80 min at (11000, 1000)); the chunked
+# fori_loop reduction keeps the graph O(1) in the operand size.
+_LOOP_REDUCE_LIMIT = 2 ** 22
+_LOOP_CHUNK = 512
+
+
+def _dd_reduce_any(ph, pl_, axis):
+    """Compensated reduction along ``axis``: flat tree for small operands,
+    fori_loop over fixed slabs (O(1) graph size) for large ones.  Returns
+    a dd pair with ``axis`` reduced to size 1 (keepdims), like dd_reduce."""
+    if ph.size <= _LOOP_REDUCE_LIMIT:
+        return dd_reduce(ph, pl_, axis=axis)
+
+    ph = jnp.moveaxis(ph, axis, 0)
+    pl_ = jnp.moveaxis(pl_, axis, 0)
+    m = ph.shape[0]
+    S = -(-m // _LOOP_CHUNK)
+    pad = S * _LOOP_CHUNK - m
+    if pad:
+        zshape = (pad,) + ph.shape[1:]
+        z = jnp.zeros(zshape, ph.dtype)
+        ph = jnp.concatenate([ph, z], axis=0)
+        pl_ = jnp.concatenate([pl_, z], axis=0)
+    rest = ph.shape[1:]
+    ph = ph.reshape((S, _LOOP_CHUNK) + rest)
+    pl_ = pl_.reshape((S, _LOOP_CHUNK) + rest)
+
+    def body(s, acc):
+        ah, al = acc
+        sh, sl = dd_reduce(ph[s], pl_[s], axis=0)    # slab tree -> (1, rest)
+        return dd_add(ah, al, sh[0], sl[0])
+
+    z0 = jnp.zeros(rest, ph.dtype)
+    h, l = lax.fori_loop(0, S, body, (z0, z0))
+    h = jnp.moveaxis(h[None], 0, axis)
+    l = jnp.moveaxis(l[None], 0, axis)
+    return h, l
+
+
 def dd_mv(Mhi, Mlo, x):
     """dd ``M @ x`` reducing the LAST axis of M against f64 ``x``; returns
     f64 of shape ``M.shape[:-1]``.  Works for (m, n) and stacked (k, m, n)."""
     xhi, xlo = split_f64(x)
     ph, pl_ = dd_mul(Mhi, Mlo, xhi, xlo)
-    h, l = dd_reduce(ph, pl_, axis=Mhi.ndim - 1)
+    h, l = _dd_reduce_any(ph, pl_, axis=Mhi.ndim - 1)
     return join_f64(h[..., 0], l[..., 0])
 
 
@@ -164,5 +206,5 @@ def dd_tmv(Mhi, Mlo, y):
     returns f64 of shape (n,)."""
     yhi, ylo = split_f64(y)
     ph, pl_ = dd_mul(Mhi, Mlo, yhi[:, None], ylo[:, None])
-    h, l = dd_reduce(ph, pl_, axis=0)
+    h, l = _dd_reduce_any(ph, pl_, axis=0)
     return join_f64(h[0, :], l[0, :])
