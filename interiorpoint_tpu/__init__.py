@@ -15,6 +15,7 @@ from .models.lp import LPSolver, solve_lp
 from .models.qp import QPSolver, solve_qp
 from .models.socp import SOCPSolver, solve_socp
 from .models.lasso import LassoSolver, solve_lasso
+from .models.phase1 import PhaseOne, PhaseOneSolver
 from .utils.config import SolverConfig, AdmmConfig
 from .models.problem import (
     LPProblem, QPProblem, SOCPProblem, LassoProblem,
@@ -25,6 +26,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "LPSolver", "QPSolver", "SOCPSolver", "LassoSolver",
+    "PhaseOneSolver", "PhaseOne",
     "solve_lp", "solve_qp", "solve_socp", "solve_lasso",
     "SolverConfig", "AdmmConfig",
     "LPProblem", "QPProblem", "SOCPProblem", "LassoProblem",

@@ -236,18 +236,35 @@ class BarrierDriver:
         self._oracle_fn_z = oracle_fn_z
         self._p1_oracle_fn_z = p1_oracle_fn_z
         self._reduced_offset = float(rf.obj_offset)
-        # Default initial z (one-time, at construction): least-squares
-        # interior warm start when it lands strictly feasible, else the
-        # projection of self.x.  Doing this here keeps solve() to a single
-        # device dispatch (the axon/tunnel per-call sync is ~30 ms).
+        # Default initial z is computed lazily on the first solve() without
+        # an x0 kwarg (see _default_z0): computing it here would run a
+        # device least-squares solve + host sync even for callers that
+        # always pass x0, and would freeze a stale self.x.
+        self._z0_default = None
+        self._z0_from = None
+
+    def _default_z0(self):
+        """Least-squares interior warm start when it lands strictly
+        feasible, else the projection of self.x.  Cached per self.x value
+        (recomputed if the caller mutates self.x between solves); the
+        warm start + its host sync happen at most once per distinct x."""
+        rf = self._reduced
+        x_now = np.asarray(self.x, dtype=np.float64)
+        if (self._z0_default is not None
+                and self._z0_from is not None
+                and np.array_equal(self._z0_from, x_now)):
+            return self._z0_default
         dtype = self.cfg.jnp_dtype
-        z_proj = rf.basis.N.T @ (jnp.asarray(self.x, dtype=dtype)
+        z_proj = rf.basis.N.T @ (jnp.asarray(x_now, dtype=dtype)
                                  - rf.basis.x_p)
         if getattr(rf.prob, "C", None) is not None:
             z_try, min_slack = _ls_interior_init(rf.prob)
-            self._z0_default = (z_try if float(min_slack) > 1e-6 else z_proj)
+            z0 = z_try if float(min_slack) > 1e-6 else z_proj
         else:
-            self._z0_default = z_proj
+            z0 = z_proj
+        self._z0_default = z0
+        self._z0_from = x_now.copy()
+        return z0
 
     # -- hooks -------------------------------------------------------------
 
@@ -331,7 +348,7 @@ class BarrierDriver:
                 z0 = rf.basis.N.T @ (jnp.asarray(x0, dtype=dtype)
                                      - rf.basis.x_p)
             else:
-                z0 = self._z0_default
+                z0 = self._default_z0()
             res = core(
                 rf.prob, None, None, z0, jnp.asarray(t0, dtype=dtype),
                 cfg, self._oracle_fn_z, self._p1_oracle_fn_z,

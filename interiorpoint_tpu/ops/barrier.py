@@ -156,8 +156,10 @@ def make_qp_oracle(prob, try_diag: bool = True, dd_override=None) -> Oracle:
     use_dd = False           # the f32 Gram (piece 2)
     dd_mv = on_tpu_f64       # the dd matvecs (piece 1)
     if dd_override is not None:
-        use_dd = dd_override and not diag
-        dd_mv = dd_mv or use_dd
+        # Explicit override controls BOTH pieces: dd_override=False gives
+        # the plain (emulated-f64 on TPU) oracle for A/B comparisons.
+        use_dd = bool(dd_override) and not diag
+        dd_mv = bool(dd_override) and not diag
     dd_mv_C = dd_mv and prob.C is not None
     dd_mv_P = dd_mv and P is not None
     if dd_mv or use_dd:
@@ -252,12 +254,15 @@ def make_qp_oracle(prob, try_diag: bool = True, dd_override=None) -> Oracle:
             # (reference: FunctionManager.py:301-312).
             if use_dd:
                 # Three scaled f32 MXU matmuls (~6e-8 rel; see use_dd note).
+                # precision=HIGHEST: the TPU default f32 dot is single-pass
+                # bf16 (~4e-3 rel), which would waste the hi/lo split.
+                hp = jax.lax.Precision.HIGHEST
                 ic32 = ic.astype(jnp.float32)
                 Bh = ic32[:, None] * Chi
                 Bl = ic32[:, None] * Clo
-                H = H + (jnp.matmul(Bh.T, Bh).astype(x.dtype)
-                         + jnp.matmul(Bh.T, Bl).astype(x.dtype)
-                         + jnp.matmul(Bl.T, Bh).astype(x.dtype))
+                H = H + (jnp.matmul(Bh.T, Bh, precision=hp).astype(x.dtype)
+                         + jnp.matmul(Bh.T, Bl, precision=hp).astype(x.dtype)
+                         + jnp.matmul(Bl.T, Bh, precision=hp).astype(x.dtype))
             else:
                 H = H + prob.C.T @ (ic[:, None] ** 2 * prob.C)
         db = jnp.zeros((n,), dtype=x.dtype)
@@ -309,7 +314,12 @@ def make_qp_oracle(prob, try_diag: bool = True, dd_override=None) -> Oracle:
         g0 = t * _lin_grad(x)
         grads = jnp.broadcast_to(g0[:, None], (n, J))
         if is_qp:
-            grads = grads + sigmas[None, :] * (t * (P @ dx))[:, None]
+            # _Px routes through the dd matvec on TPU+f64 — the emulated
+            # f64 matvec alone costs ~8 ms at n=5000 (vs 1.6 ms dd).  The
+            # Cᵀ(1/s(σ)) term below stays a plain matmul: its (n,k)×(k,J)
+            # shape amortizes f64 emulation across J columns (matmul-shaped
+            # emulation is cheap; matvec-shaped is not).
+            grads = grads + sigmas[None, :] * (t * _Px(dx))[:, None]
         it = iter(cands)
         if prob.C is not None:
             grads = grads + prob.C.T @ (1.0 / (next(it) + SLACK_EPS))
@@ -334,7 +344,7 @@ def make_qp_oracle(prob, try_diag: bool = True, dd_override=None) -> Oracle:
         lin_term = _lin_grad(x) @ dx
         vals = t * (f0 + sigmas * lin_term)
         if is_qp:
-            vals = vals + t * (0.5 * (dx @ (P @ dx))) * sigmas**2
+            vals = vals + t * (0.5 * (dx @ _Px(dx))) * sigmas**2
         for cs in cands:
             vals = vals - jnp.sum(jnp.log(cs + SLACK_EPS), axis=0)
         return ok, vals

@@ -48,6 +48,12 @@ def row_sharded_lp_newton_step(mesh: Mesh, axis: str = "rows"):
     where A, b, C, d enter pre-sharded on their row axis (use
     ``shard_rows``); x, v, c, lb, ub, t are replicated.
 
+    Constraints of this single-step demo (lifted by the full distributed
+    solve in ``solve_lp_row_sharded``): both bounds must be finite arrays
+    (the slack terms use ub−x and x−lb unconditionally), and the row
+    counts of A and C must divide evenly by the mesh axis size (the
+    back-substitution slices ``w`` by equal per-shard row counts).
+
     The math matches ops/kkt.py's block elimination (reference:
     NewtonSolverInfeasibleStart.py:386-511) with communication only at the
     psum/all_gather points noted inline.

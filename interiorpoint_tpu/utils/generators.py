@@ -38,10 +38,18 @@ def generate_qp(n, m=None, k=20, rng=None, lo=-2.0, hi=2.0):
                 lower_bound=-3.0, upper_bound=3.0)
 
 
-def generate_socp(n, m=None, k=50, num_con=5, rng=None, lo=-2.0, hi=2.0):
+def generate_socp(n, m=None, k=50, num_con=5, rng=None, lo=-2.0, hi=2.0,
+                  interior_margin=1.0):
     """SOCP with num_con random cones of m rows each, k equalities
     (reference: testSolver.py:862-880; the cones are sized so a random x0
-    is feasible, d = ‖Ax0+b‖ − cᵀx0)."""
+    is feasible, d = ‖Ax0+b‖ − cᵀx0 + interior_margin).
+
+    ``interior_margin`` deviates from the reference recipe, which uses 0
+    (testSolver.py:880) and therefore places x0 exactly ON the cone
+    boundary — pass interior_margin=0.0 to reproduce the upstream
+    instances byte-for-byte (the reference's own solver returns inf on
+    them at n>=500; see BASELINE.md SOCP note).  Benchmark results in this
+    repo are produced with the default margin and say so."""
     rng = np.random if rng is None else rng
     m = int(0.8 * n) if m is None else m
     Pp = rng.uniform(low=lo, high=hi, size=(m, n))
@@ -57,14 +65,8 @@ def generate_socp(n, m=None, k=50, num_con=5, rng=None, lo=-2.0, hi=2.0):
                  else randn(m, n))
         b.append(randn(m) if hasattr(rng, "standard_normal") else randn(m))
         c.append(randn(n) if hasattr(rng, "standard_normal") else randn(n))
-        # Strictly interior start: the reference recipe uses margin 0
-        # (testSolver.py:880), which puts x0 exactly ON the cone boundary
-        # (slack ~1e-10 from rounding alone).  A barrier method started at
-        # the boundary needs hundreds of slack-doubling Newton steps — the
-        # reference's own solver returns inf on its n>=500 instances.  The
-        # +1 margin makes the generated problems honestly solvable while
-        # keeping the construction otherwise identical.
-        d.append(float(np.linalg.norm(A[-1] @ x0 + b[-1]) - c[-1] @ x0) + 1.0)
+        d.append(float(np.linalg.norm(A[-1] @ x0 + b[-1]) - c[-1] @ x0)
+                 + interior_margin)
     F = randn((k, n)) if hasattr(rng, "standard_normal") else randn(k, n)
     g = F @ x0
     return dict(P=P, q=q, A=A, b=b, c=c, d=d, F=F, g=g,

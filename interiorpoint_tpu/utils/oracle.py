@@ -5,7 +5,8 @@ The reference uses CVXPY + CLARABEL as its oracle
 LassoSolver.py:545-581).  CVXPY is an *optional* dependency here: when it is
 unavailable we fall back to ``scipy.optimize.linprog`` (HiGHS) for LPs and
 report "unknown" for problem classes scipy cannot certify.  Tests rely on
-the scipy path plus KKT-residual certificates (tests/test_certificates.py).
+the scipy path plus KKT-residual certificates (tests/test_lp.py,
+tests/test_qp.py, tests/test_socp.py).
 """
 
 from __future__ import annotations

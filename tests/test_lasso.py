@@ -129,14 +129,14 @@ def test_solve_lasso_functional():
 
 
 def test_lasso_example_data():
-    """Regression on the committed example dataset (X_train 5331×18)
-    (reference: example_data/, used in demo.ipynb)."""
+    """Regression on the committed example dataset (X_train 5331×18),
+    stored in-repo at tests/data/lasso_example.npz (converted from the
+    reference's example_data/ CSVs, used in demo.ipynb)."""
     import os
-    path = "/root/reference/example_data"
-    if not os.path.exists(os.path.join(path, "X_train.csv")):
-        pytest.skip("example data not available")
-    A = np.genfromtxt(os.path.join(path, "X_train.csv"), delimiter=",")
-    y = np.genfromtxt(os.path.join(path, "Y_train.csv"), delimiter=",")
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "lasso_example.npz")
+    data = np.load(path)
+    A, y = data["X"], data["y"]
     A = A[~np.isnan(A).any(axis=1)]
     y = y[: A.shape[0]]
     ls = LassoSolver(A, y, reg=np.array([0.1]), add_bias=True,
