@@ -147,6 +147,7 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
     # one kernel per Newton step computes slacks/gradient/Hessian/factor/
     # dd-refined solve with no emulated-f64 ops (ops/pallas_newton.py).
     use_fused = False
+    fused_stream = False
     if (not phase1_flag and oracle.lin_form is not None
             and cfg.use_pallas and cfg.mixed_precision
             and cfg.kkt_strategy == "cholesky" and not oracle.diag_hessian
@@ -154,8 +155,10 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
             and jax.default_backend() == "tpu"):
         from . import pallas_newton
         C_lin, d_lin, lin_cost, P_lin = oracle.lin_form
-        if pallas_newton.supported(*C_lin.shape, P_lin is not None):
+        mode = pallas_newton.kernel_mode(*C_lin.shape, P_lin is not None)
+        if mode is not None:
             use_fused = True
+            fused_stream = mode == "stream"
             consts = pallas_newton.prep_reduced_consts(C_lin, d_lin)
             tc = (t * lin_cost if lin_cost is not None
                   else jnp.zeros((C_lin.shape[1],), dtype))
@@ -189,7 +192,7 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
             x_new, nd, _sigma, any_acc, dir_ok = (
                 pallas_newton.reduced_newton_step_prepared(
                     consts, tc, s.x, tP, sigmas, alpha=cfg.alpha,
-                    refine=cfg.pallas_refine))
+                    refine=cfg.pallas_refine, stream=fused_stream))
             # An inaccurate direction (ill-conditioned stall) makes the
             # decrement read small prematurely; only trust convergence
             # when the direction residual is small.

@@ -35,10 +35,22 @@ convergence rate, never the answer.  The final residual norm is returned
 so the caller can detect the (rare, kappa > ~1e7) stall and re-solve via
 the exact path.
 
-Supported sizes: C (dd pair) resident in VMEM; all passes over C are
-chunked (CH-row slabs), so liveness is inputs + slab temps — `supported()`
-checks against TPU v5e's 128 MB VMEM.  Larger problems use the staged XLA
-mixed-precision path (ops/kkt.py).
+Supported sizes: two regimes share the same arithmetic.
+
+* **Resident** (`supported()`): the C dd pair lives in VMEM; all passes
+  over C are chunked (CH-row slabs), so liveness is inputs + slab temps.
+* **HBM-streaming** (`supported_streaming()`): beyond the resident
+  envelope (large row counts — e.g. the reference's n=5000 LP reduces to
+  an 11000×1000 C), C stays in HBM and every pass DMAs CH-row slabs
+  through a double-buffered VMEM window (overlapping DMA with the VPU/MXU
+  work on the previous slab).  Only H/L (rp²) and per-row dd vectors
+  remain VMEM-resident, so the row count is bounded by HBM, not VMEM.
+  Per step the kernel reads C ~5-6×: ≈0.5 GB of HBM traffic at n=5000 —
+  ~0.7 ms at v5e's 819 GB/s, far below the emulated-f64 path it replaces
+  (measured 108 ms/step in round 1).
+
+Problems beyond both envelopes use the staged XLA mixed-precision path
+(ops/kkt.py).
 """
 
 from __future__ import annotations
@@ -190,62 +202,66 @@ def _dd_recip(hi, lo):
     return dd.dd_add(r0, jnp.zeros_like(r0), ch, cl)
 
 
-def _direction_core(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi, tclo,
-                    zhi, zlo, tPhi, tPlo,
-                    l_ref, dinv_ref, x_ref, vec_ref,
-                    *, nb: int, nck: int, refine: int, has_P: bool, r: int):
-    """Shared kernel core: slacks -> gradient -> f32 factor -> dd-refined
-    Newton direction.
+def _make_foreach_resident(Chi_ref, Clo_ref, nck: int):
+    """foreach_c over VMEM-resident C: body(ic, ch, cl, acc) per CH-slab."""
+    def foreach(body, init, need_lo: bool = True):
+        del need_lo  # resident slabs are free either way
+        def wrap(ic, acc):
+            i0 = pl.multiple_of(ic * CH, CH)
+            return body(ic, Chi_ref[pl.ds(i0, CH), :],
+                        Clo_ref[pl.ds(i0, CH), :], acc)
+        return lax.fori_loop(0, nck, wrap, init)
+    return foreach
 
-    C stays in its input refs and every pass over it is CHUNKED
-    (lax.fori_loop over CH-row slabs): peak VMEM liveness is then the
-    ~dozen dd temporaries of ONE (CH, rp) slab instead of the full
-    (kp, rp) matrix, and Mosaic compile time stops scaling with kp.
-    Per-row dd vectors (s, w=1/s^2, 1/s) persist in ``vec_ref`` columns
-    [0:2)=s, [2:4)=w, [4:6)=1/s.
+
+def _make_foreach_stream(Chi_ref, Clo_ref, bufh_ref, bufl_ref, sem_ref,
+                         nck: int):
+    """foreach_c over HBM-resident C: each pass streams CH-row slabs
+    through a double-buffered VMEM window (guide pattern: start the DMA
+    for slab ic+1 while computing on slab ic; WAR is safe because slot
+    (ic+1)%2's previous reader was iteration ic-1, already complete).
+
+    ``need_lo=False`` passes (the f32 Gram) skip the lo-half DMA,
+    halving their HBM traffic.
     """
-    rp = Chi_ref.shape[1]
+    def foreach(body, init, need_lo: bool = True):
+        def dmas(slot, ic):
+            i0 = ic * CH
+            ds = [pltpu.make_async_copy(
+                Chi_ref.at[pl.ds(i0, CH), :], bufh_ref.at[slot],
+                sem_ref.at[slot, 0])]
+            if need_lo:
+                ds.append(pltpu.make_async_copy(
+                    Clo_ref.at[pl.ds(i0, CH), :], bufl_ref.at[slot],
+                    sem_ref.at[slot, 1]))
+            return ds
 
-    # ---- pass 1: slacks s = d - C z, 1/s, w = 1/s^2 (into vec_ref), and
-    # the barrier gradient accumulation C^T (1/s) ---------------------------
-    def p1_body(ic, acc):
-        ah, al = acc
-        i0 = pl.multiple_of(ic * CH, CH)
-        ch = Chi_ref[pl.ds(i0, CH), :]
-        cl = Clo_ref[pl.ds(i0, CH), :]
-        mh, ml = dd.dd_matvec_cols(ch, cl, zhi, zlo)
-        sh_c, sl_c = dd.dd_add(dhi_ref[pl.ds(i0, CH), :],
-                               dlo_ref[pl.ds(i0, CH), :], -mh, -ml)
-        ish_c, isl_c = _dd_recip(sh_c, sl_c)
-        wh_c, wl_c = dd.dd_mul(ish_c, isl_c, ish_c, isl_c)
-        vec_ref[pl.ds(i0, CH), 0:1] = sh_c
-        vec_ref[pl.ds(i0, CH), 1:2] = sl_c
-        vec_ref[pl.ds(i0, CH), 2:3] = wh_c
-        vec_ref[pl.ds(i0, CH), 3:4] = wl_c
-        vec_ref[pl.ds(i0, CH), 4:5] = ish_c
-        vec_ref[pl.ds(i0, CH), 5:6] = isl_c
-        ph, pl2 = dd.dd_mul(ch, cl, ish_c, isl_c)
-        rh_c, rl_c = dd.dd_reduce(ph, pl2, axis=0)
-        return dd.dd_add(ah, al, rh_c, rl_c)
+        for d in dmas(0, 0):
+            d.start()
 
-    zer = jnp.zeros((1, rp), jnp.float32)
-    bth, btl = lax.fori_loop(0, nck, p1_body, (zer, zer))
+        def wrap(ic, acc):
+            slot = lax.rem(ic, 2)
+            nslot = lax.rem(ic + 1, 2)
 
-    gh, gl = dd.dd_add(tchi, tclo, bth, btl)
-    if has_P:
-        pzh, pzl = _dd_pmatvec_row(tPhi, tPlo, zhi, zlo)
-        gh, gl = dd.dd_add(gh, gl, pzh, pzl)
+            @pl.when(ic + 1 < nck)
+            def _():
+                for d in dmas(nslot, ic + 1):
+                    d.start()
 
-    # ---- pass 2: Hessian preconditioner H32 = [tP +] C^T diag(w) C --------
-    def p2_body(ic, H):
-        i0 = pl.multiple_of(ic * CH, CH)
-        ch = Chi_ref[pl.ds(i0, CH), :]
-        w32c = vec_ref[pl.ds(i0, CH), 2:3]
-        return H + _dot_tn(ch * w32c, ch)
+            for d in dmas(slot, ic):
+                d.wait()
+            cl = bufl_ref[slot] if need_lo else jnp.zeros_like(bufh_ref[slot])
+            return body(ic, bufh_ref[slot], cl, acc)
 
-    H32 = lax.fori_loop(0, nck, p2_body, jnp.zeros((rp, rp), jnp.float32))
-    if has_P:
-        H32 = H32 + tPhi
+        return lax.fori_loop(0, nck, wrap, init)
+    return foreach
+
+
+def _equilibrate(H32, r: int, rp: int):
+    """Padded-identity fill + Jacobi equilibration of the f32 Hessian.
+
+    Returns (Hs, dsc_r, eye): the scaled SPD matrix, the (1, rp) row
+    scaling D^(-1/2), and the identity mask (reused by the factor)."""
     # identity on padded columns keeps the factor finite
     rows = lax.broadcasted_iota(jnp.int32, (rp, rp), 0)
     cols_i = lax.broadcasted_iota(jnp.int32, (rp, rp), 1)
@@ -259,12 +275,15 @@ def _direction_core(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi, tclo,
     dsc_c = lax.rsqrt(jnp.maximum(
         jnp.sum(H32 * eye, axis=1, keepdims=True), 1e-30))  # (rp, 1)
     Hs = H32 * dsc_c * dsc_r
+    return Hs, dsc_r, eye
 
-    # f32 blocked factor with jitter-retry ladder; jitter only degrades the
-    # preconditioner, never the answer (refinement corrects exactly).
-    # One factor body, wrapped in a while_loop over escalating jitters.
-    # (Pallas kernels cannot capture array constants: select the jitter
-    # with scalar wheres instead of a table.)
+
+def _factor_jittered(l_ref, dinv_ref, Hs, eye, nb: int):
+    """f32 blocked factor with jitter-retry ladder; jitter only degrades
+    the preconditioner, never the answer (refinement corrects exactly).
+    One factor body, wrapped in a while_loop over escalating jitters.
+    (Pallas kernels cannot capture array constants: select the jitter
+    with scalar wheres instead of a table.)"""
     def fac_cond(c):
         i, bad = c
         return bad & (i < 4)
@@ -283,6 +302,64 @@ def _direction_core(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi, tclo,
     lax.while_loop(fac_cond, fac_body, (jnp.zeros((), jnp.int32),
                                         jnp.ones((), bool)))
 
+
+def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
+                    zhi, zlo, tPhi, tPlo,
+                    l_ref, dinv_ref, x_ref, vec_ref,
+                    *, nb: int, refine: int, has_P: bool, r: int,
+                    rp: int):
+    """Shared kernel core: slacks -> gradient -> f32 factor -> dd-refined
+    Newton direction.
+
+    Every pass over C is CHUNKED through ``foreach_c`` (CH-row slabs,
+    VMEM-resident or HBM-streamed — see the module docstring): peak VMEM
+    liveness is the ~dozen dd temporaries of ONE (CH, rp) slab instead of
+    the full (kp, rp) matrix, and Mosaic compile time stops scaling with
+    kp.  Per-row dd vectors (s, w=1/s^2, 1/s) persist in ``vec_ref``
+    columns [0:2)=s, [2:4)=w, [4:6)=1/s.
+    """
+    # ---- pass 1: slacks s = d - C z, 1/s, w = 1/s^2 (into vec_ref), and
+    # the barrier gradient accumulation C^T (1/s) ---------------------------
+    def p1_body(ic, ch, cl, acc):
+        ah, al = acc
+        i0 = pl.multiple_of(ic * CH, CH)
+        mh, ml = dd.dd_matvec_cols(ch, cl, zhi, zlo)
+        sh_c, sl_c = dd.dd_add(dhi_ref[pl.ds(i0, CH), :],
+                               dlo_ref[pl.ds(i0, CH), :], -mh, -ml)
+        ish_c, isl_c = _dd_recip(sh_c, sl_c)
+        wh_c, wl_c = dd.dd_mul(ish_c, isl_c, ish_c, isl_c)
+        vec_ref[pl.ds(i0, CH), 0:1] = sh_c
+        vec_ref[pl.ds(i0, CH), 1:2] = sl_c
+        vec_ref[pl.ds(i0, CH), 2:3] = wh_c
+        vec_ref[pl.ds(i0, CH), 3:4] = wl_c
+        vec_ref[pl.ds(i0, CH), 4:5] = ish_c
+        vec_ref[pl.ds(i0, CH), 5:6] = isl_c
+        ph, pl2 = dd.dd_mul(ch, cl, ish_c, isl_c)
+        rh_c, rl_c = dd.dd_reduce(ph, pl2, axis=0)
+        return dd.dd_add(ah, al, rh_c, rl_c)
+
+    zer = jnp.zeros((1, rp), jnp.float32)
+    bth, btl = foreach_c(p1_body, (zer, zer))
+
+    gh, gl = dd.dd_add(tchi, tclo, bth, btl)
+    if has_P:
+        pzh, pzl = _dd_pmatvec_row(tPhi, tPlo, zhi, zlo)
+        gh, gl = dd.dd_add(gh, gl, pzh, pzl)
+
+    # ---- pass 2: Hessian preconditioner H32 = [tP +] C^T diag(w) C --------
+    def p2_body(ic, ch, cl, H):
+        del cl
+        i0 = pl.multiple_of(ic * CH, CH)
+        w32c = vec_ref[pl.ds(i0, CH), 2:3]
+        return H + _dot_tn(ch * w32c, ch)
+
+    H32 = foreach_c(p2_body, jnp.zeros((rp, rp), jnp.float32),
+                    need_lo=False)
+    if has_P:
+        H32 = H32 + tPhi
+    Hs, dsc_r, eye = _equilibrate(H32, r, rp)
+    _factor_jittered(l_ref, dinv_ref, Hs, eye, nb)
+
     def _precond_solve(rhs_row):
         x_ref[:] = rhs_row
         _chol_solve_ref(l_ref, dinv_ref, x_ref, nb)
@@ -291,11 +368,9 @@ def _direction_core(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi, tclo,
     def _dd_resid(xh, xl):
         """r = -g - H x, dd, matrix-free against the true operator
         (chunked pass: C^T (w * (C x)))."""
-        def body(ic, acc):
+        def body(ic, ch, cl, acc):
             ah, al = acc
             i0 = pl.multiple_of(ic * CH, CH)
-            ch = Chi_ref[pl.ds(i0, CH), :]
-            cl = Clo_ref[pl.ds(i0, CH), :]
             yh_c, yl_c = dd.dd_matvec_cols(ch, cl, xh, xl)
             wyh, wyl = dd.dd_mul(vec_ref[pl.ds(i0, CH), 2:3],
                                  vec_ref[pl.ds(i0, CH), 3:4], yh_c, yl_c)
@@ -303,7 +378,7 @@ def _direction_core(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi, tclo,
             rh_c, rl_c = dd.dd_reduce(ph, pl2, axis=0)
             return dd.dd_add(ah, al, rh_c, rl_c)
 
-        hxh, hxl = lax.fori_loop(0, nck, body, (zer, zer))
+        hxh, hxl = foreach_c(body, (zer, zer))
         if has_P:
             pxh, pxl = _dd_pmatvec_row(tPhi, tPlo, xh, xl)
             hxh, hxl = dd.dd_add(hxh, hxl, pxh, pxl)
@@ -362,17 +437,28 @@ def _direction_core(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi, tclo,
                 rn2=rn2, bn2=bn2)
 
 
+def _make_foreach(Chi_ref, Clo_ref, scratch, nck: int, stream: bool):
+    """Build the foreach_c for a kernel invocation; ``scratch`` is the
+    trailing scratch-ref tuple (streaming adds bufh/bufl/sems)."""
+    if stream:
+        bufh_ref, bufl_ref, sem_ref = scratch[-3:]
+        return (_make_foreach_stream(Chi_ref, Clo_ref, bufh_ref, bufl_ref,
+                                     sem_ref, nck), scratch[:-3])
+    return _make_foreach_resident(Chi_ref, Clo_ref, nck), scratch
+
+
 def _newton_dir_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
                        tclo_ref, zhi_ref, zlo_ref, tPhi_ref, tPlo_ref,
                        dxhi_ref, dxlo_ref, ghi_ref, glo_ref, rn_ref,
-                       l_ref, dinv_ref, x_ref, vec_ref,
-                       *, nb: int, nck: int, refine: int, has_P: bool,
-                       r: int):
+                       *scratch, nb: int, nck: int, refine: int,
+                       has_P: bool, r: int, rp: int, stream: bool):
+    foreach_c, (l_ref, dinv_ref, x_ref, vec_ref) = _make_foreach(
+        Chi_ref, Clo_ref, scratch, nck, stream)
     out = _direction_core(
-        Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref[:],
+        foreach_c, dhi_ref, dlo_ref, tchi_ref[:],
         tclo_ref[:], zhi_ref[:], zlo_ref[:], tPhi_ref[:], tPlo_ref[:],
         l_ref, dinv_ref, x_ref, vec_ref,
-        nb=nb, nck=nck, refine=refine, has_P=has_P, r=r)
+        nb=nb, refine=refine, has_P=has_P, r=r, rp=rp)
     dxhi_ref[:] = out["xh"]
     dxlo_ref[:] = out["xl"]
     ghi_ref[:] = out["gh"]
@@ -404,9 +490,9 @@ def _phi_stable(y):
 def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
                         tclo_ref, zhi_ref, zlo_ref, tPhi_ref, tPlo_ref,
                         sig_ref, xnh_ref, xnl_ref, stats_ref,
-                        l_ref, dinv_ref, x_ref, vec_ref,
-                        *, nb: int, nck: int, refine: int, has_P: bool,
-                        r: int, alpha: float):
+                        *scratch, nb: int, nck: int, refine: int,
+                        has_P: bool, r: int, rp: int, alpha: float,
+                        stream: bool):
     """Full Newton step: direction + closed-form backtracking line search.
 
     Replaces the engine's f64 candidate sweep (ops/barrier.py ls_objs):
@@ -418,12 +504,14 @@ def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
     Selection = largest accepted sigma, identical to the reference's
     sequential shrink (reference: NewtonSolver.py:157-206).
     """
+    foreach_c, (l_ref, dinv_ref, x_ref, vec_ref) = _make_foreach(
+        Chi_ref, Clo_ref, scratch, nck, stream)
     zhi, zlo = zhi_ref[:], zlo_ref[:]
     tPhi, tPlo = tPhi_ref[:], tPlo_ref[:]
     out = _direction_core(
-        Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref[:], tclo_ref[:],
+        foreach_c, dhi_ref, dlo_ref, tchi_ref[:], tclo_ref[:],
         zhi, zlo, tPhi, tPlo, l_ref, dinv_ref, x_ref, vec_ref,
-        nb=nb, nck=nck, refine=refine, has_P=has_P, r=r)
+        nb=nb, refine=refine, has_P=has_P, r=r, rp=rp)
     xh, xl = out["xh"], out["xl"]
     gh, gl = out["gh"], out["gl"]
     sig = sig_ref[:]                                  # (1, J) f32
@@ -443,11 +531,9 @@ def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
 
     # candidate sweep, chunked over C's rows: u = (C dx)/s in dd -> f32,
     # y = sigma_j * u_i per chunk, accumulate sum phi(y) and max(u)
-    def sw_body(ic, acc):
+    def sw_body(ic, ch, cl, acc):
         phis, um = acc
         i0 = pl.multiple_of(ic * CH, CH)
-        ch = Chi_ref[pl.ds(i0, CH), :]
-        cl = Clo_ref[pl.ds(i0, CH), :]
         yh_c, yl_c = dd.dd_matvec_cols(ch, cl, xh, xl)
         uh_c, _ = dd.dd_mul(yh_c, yl_c, vec_ref[pl.ds(i0, CH), 4:5],
                             vec_ref[pl.ds(i0, CH), 5:6])
@@ -456,8 +542,8 @@ def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
         phis = phis + jnp.sum(_phi_stable(y), axis=0, keepdims=True)
         return phis, jnp.maximum(um, jnp.max(u32))
 
-    phisum, umax = lax.fori_loop(
-        0, nck, sw_body,
+    phisum, umax = foreach_c(
+        sw_body,
         (jnp.zeros((1, J), jnp.float32), jnp.float32(-jnp.inf)))
     domain = (sig * umax) < (1.0 - 1e-6)
     armijo = (sig * ((1.0 - alpha) * gdx32) + sig * sig * q2
@@ -504,6 +590,33 @@ def supported(k: int, r: int, has_P: bool) -> bool:
     return words * 4 <= 110 * 1024 * 1024 and rp <= 1536
 
 
+# Row cap for the streaming kernel: bounds vec_ref (kp, 8) VMEM residency
+# (32 B/row) and per-step DMA volume; 2^20 rows ≈ 34 MB of vec_ref.
+_STREAM_MAX_ROWS = 1 << 20
+
+
+def supported_streaming(k: int, r: int, has_P: bool) -> bool:
+    """Whether the HBM-streaming kernel covers (k, r): C lives in HBM, so
+    only H/L/[tP], the double-buffered slab window, slab dd temporaries,
+    and the per-row vec_ref must fit VMEM."""
+    kp, rp = _padk(k), _pad(r)
+    words = ((4 + (2 if has_P else 0)) * rp * rp    # Hs, L, [tP pair]
+             + 4 * CH * rp                   # double-buffered C window
+             + 14 * CH * rp                  # slab dd temporaries
+             + 10 * kp)                      # vec_ref and (kp,1) vectors
+    return (words * 4 <= 110 * 1024 * 1024 and rp <= 1536
+            and kp <= _STREAM_MAX_ROWS)
+
+
+def kernel_mode(k: int, r: int, has_P: bool):
+    """Preferred kernel regime for (k, r): 'resident', 'stream', or None."""
+    if supported(k, r, has_P):
+        return "resident"
+    if supported_streaming(k, r, has_P):
+        return "stream"
+    return None
+
+
 class ReducedConsts(typing.NamedTuple):
     """Pre-split problem constants (hoist out of the Newton while_loop —
     the f64->dd split of C is a full pass over the matrix)."""
@@ -531,12 +644,37 @@ def prep_reduced_consts(C, d) -> ReducedConsts:
     return ReducedConsts(Chi=Chi, Clo=Clo, dhi=dhi, dlo=dlo, k=k, r=r)
 
 
+def _c_in_specs(stream: bool):
+    """Input specs: C pair in HBM when streaming, VMEM when resident."""
+    c_space = pltpu.ANY if stream else pltpu.VMEM
+    return [pl.BlockSpec(memory_space=c_space)] * 2
+
+
+def _common_scratch(kp: int, rp: int, stream: bool):
+    """l/dinv/x/vec scratch (+ streaming slab window and DMA sems)."""
+    shapes = [
+        pltpu.VMEM((rp, rp), jnp.float32),
+        pltpu.VMEM((rp, BLK), jnp.float32),
+        pltpu.VMEM((1, rp), jnp.float32),
+        pltpu.VMEM((kp, 8), jnp.float32),
+    ]
+    if stream:
+        shapes += [
+            pltpu.VMEM((2, CH, rp), jnp.float32),
+            pltpu.VMEM((2, CH, rp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+    return shapes
+
+
 def reduced_newton_dir_prepared(consts: ReducedConsts, tc, z, tP=None, *,
-                                refine: int = 3, interpret: bool = False):
+                                refine: int = 3, interpret: bool = False,
+                                stream: bool = False):
     """Newton direction from pre-split constants; see reduced_newton_dir.
 
     Not jitted itself (consts.k/r are static Python ints): call under an
-    enclosing jit, as ops/newton.py does.
+    enclosing jit, as ops/newton.py does.  ``stream=True`` keeps the C
+    pair in HBM and DMA-streams row slabs (see module docstring).
     """
     k, r = consts.k, consts.r
     rp = _pad(r)
@@ -555,7 +693,7 @@ def reduced_newton_dir_prepared(consts: ReducedConsts, tc, z, tP=None, *,
 
     kernel = functools.partial(
         _newton_dir_kernel, nb=nb, nck=nck, refine=refine,
-        has_P=tP is not None, r=r)
+        has_P=tP is not None, r=r, rp=rp, stream=stream)
     # Kernel internals are pure f32; trace them with x64 disabled — Mosaic's
     # TPU lowering infinitely recurses on some x64-weak-typed literals
     # (observed on jax 0.9.0).
@@ -569,15 +707,11 @@ def reduced_newton_dir_prepared(consts: ReducedConsts, tc, z, tP=None, *,
                 jax.ShapeDtypeStruct((1, rp), jnp.float32),
                 jax.ShapeDtypeStruct((1, 1), jnp.float32),
             ),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+            in_specs=_c_in_specs(stream)
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 4
             + (pl.BlockSpec(memory_space=pltpu.SMEM),),
-            scratch_shapes=[
-                pltpu.VMEM((rp, rp), jnp.float32),
-                pltpu.VMEM((rp, BLK), jnp.float32),
-                pltpu.VMEM((1, rp), jnp.float32),
-                pltpu.VMEM((kp, 8), jnp.float32),
-            ],
+            scratch_shapes=_common_scratch(kp, rp, stream),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024),
             interpret=interpret,
@@ -590,7 +724,8 @@ def reduced_newton_dir_prepared(consts: ReducedConsts, tc, z, tP=None, *,
 
 def reduced_newton_step_prepared(consts: ReducedConsts, tc, z, tP, sigmas,
                                  *, alpha: float, refine: int = 3,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 stream: bool = False):
     """One full Newton iteration (direction + line search) as ONE kernel.
 
     Args:
@@ -628,7 +763,8 @@ def reduced_newton_step_prepared(consts: ReducedConsts, tc, z, tP, sigmas,
 
     kernel = functools.partial(
         _newton_step_kernel, nb=nb, nck=nck, refine=refine,
-        has_P=tP is not None, r=r, alpha=float(alpha))
+        has_P=tP is not None, r=r, rp=rp, alpha=float(alpha),
+        stream=stream)
     with jax.enable_x64(False):
         xnh, xnl, stats = pl.pallas_call(
             kernel,
@@ -637,15 +773,11 @@ def reduced_newton_step_prepared(consts: ReducedConsts, tc, z, tP, sigmas,
                 jax.ShapeDtypeStruct((1, rp), jnp.float32),
                 jax.ShapeDtypeStruct((1, 8), jnp.float32),
             ),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+            in_specs=_c_in_specs(stream)
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2
             + (pl.BlockSpec(memory_space=pltpu.SMEM),),
-            scratch_shapes=[
-                pltpu.VMEM((rp, rp), jnp.float32),
-                pltpu.VMEM((rp, BLK), jnp.float32),
-                pltpu.VMEM((1, rp), jnp.float32),
-                pltpu.VMEM((kp, 8), jnp.float32),
-            ],
+            scratch_shapes=_common_scratch(kp, rp, stream),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024),
             interpret=interpret,
