@@ -117,6 +117,95 @@ def bench_lasso(n, reps, dtype):
     return mean_s, times, float(np.mean(solver.solutions)), ""
 
 
+# TPU v5e per-chip MXU peak: 197 TFLOP/s at bf16.  The fused kernel's
+# matmuls run f32 with precision=HIGHEST, which the MXU executes as 6
+# bf16-limb passes — the achievable peak for exact-f32 arithmetic is
+# therefore 197/6 ≈ 32.8 TFLOP/s.  Both fractions are reported: the
+# f32-effective number is the one the 80% BASELINE.md:89 bar should be
+# read against (it is the speed-of-light for this precision), the raw
+# bf16 number anchors it to the hardware datasheet.
+V5E_BF16_PEAK = 197e12
+V5E_F32_EFF_PEAK = V5E_BF16_PEAK / 6.0
+
+
+def roofline(suite, n, reps, dtype):
+    """Measure achieved FLOP/s of the fused Newton-step kernel (direction
+    + factor + refinement + line search in one Pallas program) against the
+    v5e roofline, at the reduced shape of the benchmark problem.
+
+    FLOP accounting is the USEFUL dense factor-solve work per step
+    (reference per-step equivalent: NewtonSolverInfeasibleStart.py:396-490):
+    Gram CᵀWC = 2kr², Cholesky r³/3, [QP: +2r² P matvec], triangular
+    solves and dd matvec passes are O(kr) and counted too.
+    """
+    import jax
+    import jax.numpy as jnp
+    from interiorpoint_tpu import LPSolver, QPSolver
+    from interiorpoint_tpu.ops import pallas_newton as pn
+
+    np.random.seed(1)
+    m, k_in = int(0.8 * n), int(0.2 * n)
+    A = np.random.uniform(-2, 2, (m, n))
+    x_feas = np.random.uniform(-2, 2, n)
+    if suite == "qp":
+        Pp = np.random.uniform(-2, 2, (m, n))
+        P = Pp.T @ Pp + np.eye(n)
+        C = np.random.uniform(-2, 2, (20, n))
+        solver = QPSolver(P=P, q=np.random.uniform(-2, 2, n), A=A,
+                          b=A @ x_feas, C=C, d=C @ x_feas, lower_bound=-3,
+                          upper_bound=3, suppress_print=True,
+                          check_cvxpy=False, dtype=dtype)
+    else:
+        C = np.random.uniform(-2, 2, (k_in, n))
+        solver = LPSolver(c=np.random.uniform(-2, 2, n), A=A, b=A @ x_feas,
+                          C=C, d=C @ x_feas, lower_bound=-3, upper_bound=3,
+                          suppress_print=True, check_cvxpy=False,
+                          dtype=dtype)
+
+    rf = solver._reduced
+    Cz, dz = rf.prob.C, rf.prob.d
+    Pz = getattr(rf.prob, "P", None)
+    k, r = Cz.shape
+    mode = pn.kernel_mode(k, r, Pz is not None)
+    if mode is None:
+        raise SystemExit(f"no fused kernel regime for k={k} r={r}")
+    consts = pn.prep_reduced_consts(Cz, dz)
+    z0 = np.asarray(rf.basis.N.T @ (jnp.asarray(x_feas) - rf.basis.x_p))
+    tc = jnp.asarray(np.random.uniform(-1, 1, r))
+    sig = jnp.asarray(0.6 ** np.arange(40))
+
+    def step(tc_, z_, tP_):
+        return pn.reduced_newton_step_prepared(
+            consts, tc_, z_, tP_, sig, alpha=0.2, stream=mode == "stream")
+
+    jit_step = jax.jit(step)
+    tP = None if Pz is None else jnp.asarray(Pz)
+    args_ = (tc, jnp.asarray(z0), tP)
+    jax.block_until_ready(jit_step(*args_))           # compile + warm
+    t0 = time.time()
+    for _ in range(reps):
+        out = jit_step(*args_)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
+
+    refine_passes = 3 + 1                              # refine rounds + p1
+    flops = (2.0 * k * r * r                           # Gram CᵀWC
+             + r**3 / 3.0                              # Cholesky
+             + refine_passes * 4.0 * k * r             # dd matvec pairs
+             + 2.0 * 3 * r * r                         # trisolve battery
+             + 2.0 * k * 40)                           # candidate sweep
+    if Pz is not None:
+        flops += 2.0 * r * r * (refine_passes + 1)
+    achieved = flops / dt
+    return dict(
+        suite=suite, n=n, k=k, r=r, mode=mode, step_ms=dt * 1e3,
+        useful_gflop=flops / 1e9,
+        achieved_tflops=achieved / 1e12,
+        frac_f32_eff_peak=achieved / V5E_F32_EFF_PEAK,
+        frac_bf16_peak=achieved / V5E_BF16_PEAK,
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--suite", type=str, default="lp",
@@ -124,6 +213,9 @@ def main():
     p.add_argument("--n", type=int, default=1000)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--dtype", type=str, default="float64")
+    p.add_argument("--roofline", action="store_true",
+                   help="measure fused-kernel FLOP/s vs v5e peak instead "
+                        "of end-to-end solve time")
     args = p.parse_args()
 
     import jax
@@ -135,6 +227,20 @@ def main():
     os.makedirs("/tmp/ip_tpu_jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/ip_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    if args.roofline:
+        res = roofline(args.suite, args.n, max(args.reps, 10), args.dtype)
+        print(f"# roofline {res['suite']} n={res['n']}: reduced shape "
+              f"k={res['k']} r={res['r']} mode={res['mode']}, "
+              f"{res['step_ms']:.2f} ms/step, "
+              f"{res['useful_gflop']:.2f} GFLOP useful", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"{args.suite}_n{args.n}_fused_step_tflops",
+            "value": round(res["achieved_tflops"], 3),
+            "unit": "TFLOP/s",
+            "vs_baseline": round(res["frac_f32_eff_peak"], 4),
+        }))
+        return
 
     fn = {"lp": bench_lp, "qp": bench_qp, "socp": bench_socp,
           "lasso": bench_lasso}[args.suite]
