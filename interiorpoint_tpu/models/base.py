@@ -22,7 +22,24 @@ from ..utils.config import SolverConfig
 
 
 def default_dtype() -> str:
-    return "float64" if jax.config.jax_enable_x64 else "float32"
+    """Solver default precision: float64, matching the reference (which is
+    NumPy/CuPy f64 throughout).  Enabling x64 lazily here means a bare
+    ``from interiorpoint_tpu import LPSolver; LPSolver(...).solve()``
+    gets reference-grade accuracy instead of silent f32 (measured: f32
+    leaves ~1e-1 inequality violations on the n=200 LP recipe — a real
+    footgun for users switching from the reference).  Pass
+    ``dtype="float32"`` explicitly to opt into single precision."""
+    return "float64"
+
+
+def ensure_x64(dtype_name: str) -> None:
+    """Turn on JAX x64 when a driver is configured for float64.
+
+    Flipping the flag mid-process is supported by JAX; arrays created
+    afterwards honor it.  No-op for float32 configs (the flag is left
+    alone — turning it OFF could break other x64 users in-process)."""
+    if dtype_name == "float64" and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
 
 
 def synthesize_x0(lb, ub, n, rng=None):
@@ -170,6 +187,7 @@ class BarrierDriver:
                      staged_dispatch=None):
         del update_slacks_every  # unnecessary: exact slacks are free here
         self._dtype_name = dtype or default_dtype()
+        ensure_x64(self._dtype_name)
         # t0="auto" scales the initial barrier parameter to the problem:
         # t0 = m / max(|f(x0)|, 1), the standard gap-matching heuristic
         # (Boyd & Vandenberghe 11.3.1).  A fixed t0 on a badly-scaled

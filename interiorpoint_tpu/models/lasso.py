@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..ops.admm import admm_core
 from ..utils import oracle as oracle_check
 from ..utils.config import AdmmConfig
-from .base import default_dtype
+from .base import default_dtype, ensure_x64
 
 # HBM budget for holding the iterates; the reference assumes 1.5 GB of GPU
 # memory (reference: LassoSolver.py:88-92).  TPU v5e has 16 GB.
@@ -42,6 +42,7 @@ class LassoSolver:
                  check_cvxpy=True, dtype=None):
         del use_gpu, adaptive_rho
         dtype = dtype or default_dtype()
+        ensure_x64(dtype)
         self.cfg = AdmmConfig(
             rho=float(rho), max_iters=int(max_iters),
             check_stop=int(check_stop), eps_abs=float(eps_abs),
@@ -186,6 +187,7 @@ def solve_lasso(A, b, reg=1.0, cfg=None, **cfg_overrides):
     """Functional one-shot batched LASSO solve returning ADMMResult."""
     if cfg is None:
         cfg = AdmmConfig(**{"dtype": default_dtype(), **cfg_overrides})
+    ensure_x64(cfg.dtype)
     dt = cfg.jnp_dtype
     A = jnp.asarray(A, dtype=dt)
     b = jnp.asarray(b, dtype=dt)

@@ -25,7 +25,7 @@ from ..ops.barrier import make_phase1_linear_oracle
 from ..ops.ipm import phase1_solve
 from ..ops.socp import make_phase1_socp_oracle
 from ..utils.config import SolverConfig
-from .base import default_dtype
+from .base import default_dtype, ensure_x64
 from .problem import LPProblem, make_lp, make_socp
 
 
@@ -52,6 +52,7 @@ class PhaseOneSolver:
                  update_slacks_every=0, dtype=None):
         del use_gpu, update_slacks_every, track_loss
         dtype = dtype or default_dtype()
+        ensure_x64(dtype)
         self.cfg = SolverConfig(
             t0=float(t0), mu=float(mu), epsilon=float(epsilon),
             max_outer_iters=int(max_outer_iters),
@@ -125,6 +126,7 @@ class PhaseOne:
                  linear_solver="solve", max_cg_iters=50, dtype=None):
         del use_cupy
         dtype = dtype or default_dtype()
+        ensure_x64(dtype)
         G = np.asarray(G, dtype=np.float64)
         h = np.asarray(h, dtype=np.float64)
         self.G, self.h = G, h

@@ -129,6 +129,8 @@ def solve_qp(P, q=None, A=None, b=None, C=None, d=None, lb=None, ub=None,
 
     if cfg is None:
         cfg = SolverConfig(**{"dtype": default_dtype(), **cfg_overrides})
+    from .base import ensure_x64
+    ensure_x64(cfg.dtype)
     dt = cfg.jnp_dtype
     prob = make_qp(P, q, A, b, C, d, lb, ub, dtype=dt)
     n = prob.n

@@ -206,6 +206,8 @@ def solve_socp(A, b=None, c=None, d=None, P=None, q=None, F=None, g=None,
 
     if cfg is None:
         cfg = SolverConfig(**{"dtype": default_dtype(), **cfg_overrides})
+    from .base import ensure_x64
+    ensure_x64(cfg.dtype)
     dt = cfg.jnp_dtype
     prob = make_socp(A, b, c, d, P, q, F, g, lb, ub, dtype=dt)
     n = prob.n
