@@ -72,6 +72,12 @@ class Oracle(NamedTuple):
     # kkt.matrix_free_posdef_solve on shapes beyond the fused kernel's
     # VMEM envelope.  None -> dense hess() + mixed_posdef_solve.
     hess_op: Optional[callable] = None
+    # Pure-cone SOCP problem pytree (no bounds, no equalities): set by
+    # make_socp_oracle when the barrier subproblem is exactly
+    # min t*(q.x [+ x.P x/2]) - sum_k log(rhs_k^2 - |lhs_k|^2) — i.e. the
+    # reduced SOCP form.  Enables the fused SOCP Pallas kernel
+    # (ops/pallas_socp.py) on TPU.
+    socp_form: Optional[object] = None
 
 
 # ---------------------------------------------------------------------------

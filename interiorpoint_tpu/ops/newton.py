@@ -164,12 +164,31 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
                   else jnp.zeros((C_lin.shape[1],), dtype))
             tP = t * P_lin if P_lin is not None else None
 
+    # Fused SOCP Pallas fast path (TPU, f64, cholesky, pure-cone form):
+    # one kernel per Newton step (ops/pallas_socp.py) replaces the XLA
+    # dd cone contractions + emulated-f64 Hessian + mixed factor/solve.
+    use_socp_fused = False
+    if (not use_fused and not phase1_flag and oracle.socp_form is not None
+            and cfg.use_pallas and cfg.mixed_precision
+            and cfg.kkt_strategy == "cholesky" and not oracle.diag_hessian
+            and dtype == jnp.float64
+            and jax.default_backend() == "tpu"):
+        from . import pallas_socp
+        sprob = oracle.socp_form
+        K_s, M_s, r_s = sprob.A.shape
+        if pallas_socp.supported(K_s, M_s, r_s, sprob.P is not None):
+            use_socp_fused = True
+            sconsts = pallas_socp.prep_socp_consts(sprob)
+            tq_s = (t * sprob.q if sprob.q is not None
+                    else jnp.zeros((r_s,), dtype))
+            tP_s = t * sprob.P if sprob.P is not None else None
+
     # Matrix-free mixed path (TPU, f64, cholesky, beyond the kernel's VMEM
     # envelope): factor the f32 MXU-assembled Hessian, refine the direction
     # against the true operator in f64 (kkt.matrix_free_posdef_solve) —
     # replaces the per-step emulated-f64 CtD2C assembly + exact-fallback
     # Cholesky of the dense path.
-    use_mf = (not use_fused and not phase1_flag
+    use_mf = (not use_fused and not use_socp_fused and not phase1_flag
               and oracle.hess_op is not None and cfg.matrix_free
               and cfg.mixed_precision and cfg.kkt_strategy == "cholesky"
               and not oracle.diag_hessian and dtype == jnp.float64
@@ -196,6 +215,12 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
             # An inaccurate direction (ill-conditioned stall) makes the
             # decrement read small prematurely; only trust convergence
             # when the direction residual is small.
+            nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
+        elif use_socp_fused:
+            x_new, nd, _sigma, any_acc, dir_ok, _dx = (
+                pallas_socp.socp_newton_step_prepared(
+                    sconsts, tq_s, s.x, tP_s, sigmas, alpha=cfg.alpha,
+                    refine=cfg.pallas_refine))
             nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
         else:
             g = oracle.grad(s.x, t)

@@ -328,9 +328,12 @@ def make_socp_oracle(prob, dd=None) -> Oracle:
             vals = vals - jnp.sum(jnp.log(bc + SLACK_EPS), axis=0)
         return ok, vals
 
+    # Pure-cone form (reduced SOCP: no bounds, no equality block) enables
+    # the fused Pallas Newton-step kernel on TPU (ops/pallas_socp.py).
+    socp_form = prob if (not bounded and prob.F is None) else None
     return Oracle(n=n, diag_hessian=False, obj=obj, grad=grad, hess=hess,
                   newton_obj=newton_obj, min_slack=min_slack,
-                  ls_grads=ls_grads, ls_objs=ls_objs)
+                  ls_grads=ls_grads, ls_objs=ls_objs, socp_form=socp_form)
 
 
 def make_phase1_socp_oracle(prob, dd=None) -> Oracle:
