@@ -98,6 +98,110 @@ def test_average_relative_error_lasso_shape():
 
 
 # ---------------------------------------------------------------------------
+# MPS reader / LP relaxation (utils/mps.py) — the pipeline behind the
+# reference's missing performanceTest.py (SURVEY.md §2.3 #17) and the
+# regeneration path for its absent MIPLIB blobs.
+# ---------------------------------------------------------------------------
+
+
+_MPS_SAMPLE = """\
+* hand-written sample exercising rows/ranges/markers/bounds
+NAME          SAMPLE
+ROWS
+ N  OBJ
+ L  CAP
+ G  MINP
+ E  BAL
+ L  RNG
+COLUMNS
+    MARKER1   'MARKER'  'INTORG'
+    X1        OBJ       2.0   CAP       1.0
+    X1        MINP      1.0   BAL       1.0
+    MARKER2   'MARKER'  'INTEND'
+    X2        OBJ      -3.0   CAP       2.0
+    X2        BAL       1.0   RNG       1.0
+    X3        OBJ       1.0   MINP      1.0
+    X3        RNG      -1.0
+RHS
+    RHS       CAP       10.0  MINP      1.0
+    RHS       BAL       4.0   RNG       2.0
+RANGES
+    RNG1      RNG       3.0
+BOUNDS
+ UP BND       X1        6.0
+ MI BND       X3
+ UP BND       X3        5.0
+ENDATA
+"""
+
+
+def test_mps_lp_relaxation_matches_scipy(tmp_path):
+    from scipy.optimize import linprog
+    from interiorpoint_tpu.utils import mps
+
+    path = str(tmp_path / "sample.mps")
+    with open(path, "w") as f:
+        f.write(_MPS_SAMPLE)
+    c, A, b, C, d, ub, lb = mps.lp_relaxation(mps.parse_mps(path), big=1e4)
+    assert A.shape == (1, 3)          # BAL
+    assert C.shape == (4, 3)          # CAP, -MINP, RNG, -(RNG lower)
+    # integrality markers relaxed: X1 continuous in [0, 6]
+    np.testing.assert_allclose(lb, [0.0, 0.0, -1e4])
+    np.testing.assert_allclose(ub, [6.0, 1e4, 5.0])
+    ref = linprog(c, A_ub=C, b_ub=d, A_eq=A, b_eq=b,
+                  bounds=list(zip(lb, ub)), method="highs")
+    assert ref.status == 0
+    # independent hand model of the same MPS
+    ref2 = linprog([2.0, -3.0, 1.0],
+                   A_ub=[[1.0, 2.0, 0.0],      # CAP: x1+2x2 <= 10
+                         [-1.0, 0.0, -1.0],    # MINP: x1+x3 >= 1
+                         [0.0, 1.0, -1.0],     # RNG: x2-x3 <= 2
+                         [0.0, -1.0, 1.0]],    # RNG lower: x2-x3 >= -1
+                   b_ub=[10.0, -1.0, 2.0, 1.0],
+                   A_eq=[[1.0, 1.0, 0.0]], b_eq=[4.0],
+                   bounds=[(0, 6), (0, None), (None, 5)], method="highs")
+    assert abs(ref.fun - ref2.fun) < 1e-9
+
+
+def test_mps_to_npy_solver_roundtrip(tmp_path):
+    """MPS -> reference .npy layout -> LPSolver, vs HiGHS."""
+    from scipy.optimize import linprog
+    from interiorpoint_tpu.utils import miplib, mps
+
+    path = str(tmp_path / "sample.mps")
+    with open(path, "w") as f:
+        f.write(_MPS_SAMPLE)
+    npy = str(tmp_path / "sample.npy")
+    mps.mps_to_npy(path, npy, big=50.0)   # finite box for the barrier
+    c, A, b, C, d, ub, lb = miplib.load_lp_npy(npy)
+    solver = miplib.solve_lp_npy(npy, suppress_print=True,
+                                 check_cvxpy=False, epsilon=1e-8)
+    ref = linprog(c, A_ub=C, b_ub=d, A_eq=A, b_eq=b,
+                  bounds=list(zip(lb, ub)), method="highs")
+    assert abs(solver.value - ref.fun) / abs(ref.fun) < 1e-4
+
+
+def test_miplib_instance_regression():
+    """Real-instance regression (reference: testSolver.py:278-435 on
+    30n20b8/aflow40b).  The blobs are regenerable from public MPS sources
+    with scripts/fetch_miplib.py; skipped until fetched (this build
+    environment has no network egress)."""
+    from scipy.optimize import linprog
+    from interiorpoint_tpu.utils import miplib
+
+    path = os.path.join(os.path.dirname(__file__), "data", "miplib",
+                        "30n20b8.npy")
+    if not os.path.exists(path):
+        pytest.skip("run scripts/fetch_miplib.py to enable (needs network)")
+    c, A, b, C, d, ub, lb = miplib.load_lp_npy(path)
+    solver = miplib.solve_lp_npy(path, suppress_print=True,
+                                 check_cvxpy=False, epsilon=1e-6)
+    ref = linprog(c, A_ub=C, b_ub=d, A_eq=A, b_eq=b,
+                  bounds=list(zip(lb, ub)), method="highs")
+    assert abs(solver.value - ref.fun) / max(1.0, abs(ref.fun)) < 1e-3
+
+
+# ---------------------------------------------------------------------------
 # Matrix-free mixed-precision solve (ops/kkt.py matrix_free_posdef_solve).
 # ---------------------------------------------------------------------------
 
