@@ -208,8 +208,8 @@ def roofline(suite, n, reps, dtype):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--suite", type=str, default="lp",
-                   choices=["lp", "qp", "socp", "lasso"])
+    p.add_argument("--suite", type=str, default="all",
+                   choices=["all", "lp", "qp", "socp", "lasso"])
     p.add_argument("--n", type=int, default=1000)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--dtype", type=str, default="float64")
@@ -242,19 +242,58 @@ def main():
         }))
         return
 
-    fn = {"lp": bench_lp, "qp": bench_qp, "socp": bench_socp,
-          "lasso": bench_lasso}[args.suite]
-    mean_s, times, val, note = fn(args.n, args.reps, args.dtype)
+    fns = {"lp": bench_lp, "qp": bench_qp, "socp": bench_socp,
+           "lasso": bench_lasso}
 
-    print(f"# {args.suite} n={args.n}: objective {val:.8f} {note}; "
-          f"times {['%.3f' % t for t in times]}", file=sys.stderr)
+    if args.suite != "all":
+        mean_s, times, val, note = fns[args.suite](args.n, args.reps,
+                                                   args.dtype)
+        print(f"# {args.suite} n={args.n}: objective {val:.8f} {note}; "
+              f"times {['%.3f' % t for t in times]}", file=sys.stderr)
+        baseline = BASELINES[args.suite].get(args.n)
+        print(json.dumps({
+            "metric": f"{args.suite}_n{args.n}_solve_seconds",
+            "value": round(mean_s, 4),
+            "unit": "s",
+            "vs_baseline": (round(baseline / mean_s, 3)
+                            if baseline else None),
+        }))
+        return
 
-    baseline = BASELINES[args.suite].get(args.n)
+    # default: all four problem classes at n (round-2 VERDICT next #7 —
+    # the per-round record must cover more than the LP row).  Headline
+    # value = geometric-mean speedup vs the reference T4 means; per-suite
+    # rows ride along in the same JSON line.
+    rows = {}
+    speedups = []
+    for name in ("lp", "qp", "socp", "lasso"):
+        try:
+            mean_s, times, val, note = fns[name](args.n, args.reps,
+                                                 args.dtype)
+        except Exception as e:                      # record, keep going
+            print(f"# {name} n={args.n} FAILED: {e!r}", file=sys.stderr)
+            rows[name] = {"error": str(e)[:200]}
+            continue
+        baseline = BASELINES[name].get(args.n)
+        speedup = (baseline / mean_s) if baseline else None
+        rows[name] = {"seconds": round(mean_s, 4),
+                      "objective": round(float(val), 6),
+                      "t4_baseline_s": baseline,
+                      "speedup_vs_t4": (round(speedup, 3)
+                                        if speedup else None)}
+        if speedup:
+            speedups.append(speedup)
+        print(f"# {name} n={args.n}: {mean_s:.4f}s "
+              f"({speedup:.1f}x vs T4) obj={val:.6f} {note}",
+              file=sys.stderr)
+    geomean = (float(np.exp(np.mean(np.log(speedups))))
+               if speedups else None)
     print(json.dumps({
-        "metric": f"{args.suite}_n{args.n}_solve_seconds",
-        "value": round(mean_s, 4),
-        "unit": "s",
-        "vs_baseline": (round(baseline / mean_s, 3) if baseline else None),
+        "metric": f"all_n{args.n}_geomean_speedup_vs_t4",
+        "value": (round(geomean, 3) if geomean else None),
+        "unit": "x",
+        "vs_baseline": (round(geomean, 3) if geomean else None),
+        "rows": rows,
     }))
 
 

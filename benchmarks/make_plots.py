@@ -17,7 +17,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from interiorpoint_tpu.utils.csvio import read_results
 from interiorpoint_tpu.utils.plotting import (
-    calculate_average_relative_error, plot_timing_comparison)
+    calculate_average_relative_error, plot_backtrack_distribution,
+    plot_family, plot_timing_comparison)
 
 RESULTS = os.path.join(os.path.dirname(__file__), "results")
 PLOTS = os.path.join(os.path.dirname(__file__), "plots")
@@ -49,7 +50,9 @@ def main():
         ax.figure.savefig(os.path.join(PLOTS, f"{suite.lower()}_timing.png"),
                           dpi=120, bbox_inches="tight")
         plt.close(ax.figure)
-        print(f"{suite}: wrote timing plot")
+        # the reference's full six-style family (parseAndPlot.py:177-409)
+        written = plot_family(series, _dims_for(t), labels, suite, PLOTS)
+        print(f"{suite}: wrote timing plot + {len(written)}-style family")
 
     # LP accuracy vs oracle
     tv = os.path.join(RESULTS, "testResults_tpu_LPValues.csv")
@@ -71,6 +74,19 @@ def main():
                           dpi=120, bbox_inches="tight")
         plt.close(ax.figure)
         print("LASSO: wrote timing plot")
+
+    # backtrack-count distribution (reference instrumentation:
+    # testing/plots/backtrack_distribution.png), recorded by
+    # run_benchmarks.py from IPMResult.bt_hist
+    bh = os.path.join(RESULTS, "backtrack_hist.csv")
+    if os.path.exists(bh):
+        hist = np.loadtxt(bh, delimiter=",")
+        ax = plot_backtrack_distribution(
+            hist, label="LP benchmark backtrack distribution")
+        ax.figure.savefig(os.path.join(PLOTS, "backtrack_distribution.png"),
+                          dpi=120, bbox_inches="tight")
+        plt.close(ax.figure)
+        print("wrote backtrack distribution")
 
 
 if __name__ == "__main__":

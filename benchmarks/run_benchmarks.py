@@ -60,6 +60,7 @@ def test_LP(dims, N=10, outdir=".", verbose=True, check_oracle=True):
     t_orc = np.zeros((num_tests, N))
     v_ours = np.zeros((num_tests, N))
     v_orc = np.zeros((num_tests, N))
+    bt_hist = None
     for count, n in enumerate(dims):
         reps = _reps_for(n, N)
         for i in range(reps):
@@ -76,10 +77,18 @@ def test_LP(dims, N=10, outdir=".", verbose=True, check_oracle=True):
             solver.solve()  # warm the jit cache (one-time compile)
             dt, val = _timed(solver.solve)
             t_ours[count, i], v_ours[count, i] = dt, val
+            if getattr(solver, "backtrack_hist", None) is not None:
+                bt_hist = (solver.backtrack_hist if bt_hist is None
+                           else bt_hist + solver.backtrack_hist)
             if verbose:
                 print(f"LP n={n} rep={i}: ours {dt:.3f}s val={val:.5f}"
                       + (f" oracle {v_orc[count, i]:.5f}" if check_oracle
                          else ""))
+    if bt_hist is not None:
+        # accepted-candidate distribution for make_plots.py's
+        # backtrack_distribution.png (reference instrumentation)
+        np.savetxt(os.path.join(outdir, "backtrack_hist.csv"), bt_hist,
+                   delimiter=",", fmt="%d")
     write_results(os.path.join(outdir, "testResults_tpu_LP.csv"), t_ours)
     write_results(os.path.join(outdir, "testResults_tpu_LPValues.csv"),
                   v_ours)

@@ -154,7 +154,7 @@ def _barrier_staged(prob, A, b, x0, t0, cfg, oracle_fn, p1_oracle_fn,
         x=state.best_x, v=state.v if A is not None else None,
         value=state.best_obj, dual_gap=state.dual_gap, t=state.t,
         outer_iters=state.it, inner_iters=state.inner_iters,
-        obj_vals=state.obj_vals, phase1=p1,
+        obj_vals=state.obj_vals, phase1=p1, bt_hist=state.bt_hist,
     )
 
 
@@ -403,6 +403,10 @@ class BarrierDriver:
         self._result = res
         self.outer_iters = int(res.outer_iters)
         self.inner_iters = [int(k) for k in res.inner_iters[: self.outer_iters]]
+        # accepted-candidate histogram: bin j = steps that took sigma=beta^j
+        # (the reference's backtrack-distribution instrumentation)
+        self.backtrack_hist = (np.asarray(res.bt_hist)
+                               if res.bt_hist is not None else None)
         self.objective_vals = [
             float(o) + obj_offset for o in res.obj_vals[: self.outer_iters]
             if np.isfinite(o)

@@ -46,6 +46,11 @@ class IPMResult(NamedTuple):
     inner_iters: jax.Array       # (max_outer_iters,) Newton counts, 0-padded
     obj_vals: jax.Array          # (max_outer_iters,) objective trace (NaN-padded)
     phase1: Optional[Phase1Result]
+    # (J,) accepted-candidate-index histogram accumulated over every
+    # Newton step (sigma = beta^j, so bin j = number of backtracks) —
+    # the reference's ad-hoc backtrack-distribution instrumentation
+    # (SURVEY.md §5) as a first-class counter in the state pytree.
+    bt_hist: Optional[jax.Array] = None
 
 
 def phase1_solve(p1_oracle: Oracle, x0, cfg) -> Phase1Result:
@@ -163,6 +168,7 @@ def barrier_solve(oracle: Oracle, A, b, x0, cfg, *, num_constraints: int,
         x=out.best_x, v=out.v if has_eq else None, value=out.best_obj,
         dual_gap=out.dual_gap, t=out.t, outer_iters=out.it,
         inner_iters=out.inner_iters, obj_vals=out.obj_vals, phase1=p1,
+        bt_hist=out.bt_hist,
     )
 
 
@@ -177,6 +183,7 @@ class OuterState(NamedTuple):
     dual_gap: jax.Array
     inner_iters: jax.Array
     obj_vals: jax.Array
+    bt_hist: jax.Array
     done: jax.Array
 
 
@@ -196,6 +203,7 @@ def outer_init(x_start, v0, t0, A, cfg, num_constraints=0) -> OuterState:
         dual_gap=jnp.asarray(float(num_constraints), dtype),
         inner_iters=jnp.zeros((cfg.max_outer_iters,), jnp.int32),
         obj_vals=jnp.full((cfg.max_outer_iters,), jnp.nan, dtype),
+        bt_hist=jnp.zeros((cfg.max_linesearch_steps,), jnp.int32),
         done=jnp.zeros((), bool),
     )
 
@@ -235,6 +243,7 @@ def make_outer_body(oracle: Oracle, A, b, cfg, *, num_constraints: int,
         traced_obj = jnp.where(eq_ok, obj_val, s.last_obj)
         obj_vals = s.obj_vals.at[s.it].set(traced_obj)
         inner_iters = s.inner_iters.at[s.it].set(res.iters)
+        bt_hist = s.bt_hist + res.bt_hist
 
         gap_new = num_constraints / s.t
         dual_gap = jnp.where(break_improve, s.dual_gap, gap_new)
@@ -248,6 +257,6 @@ def make_outer_body(oracle: Oracle, A, b, cfg, *, num_constraints: int,
             x=x_new, v=v_new, t=t_new, it=s.it + 1,
             best_x=best_x, best_obj=best_obj, last_obj=traced_obj,
             dual_gap=dual_gap, inner_iters=inner_iters,
-            obj_vals=obj_vals, done=done)
+            obj_vals=obj_vals, bt_hist=bt_hist, done=done)
 
     return body

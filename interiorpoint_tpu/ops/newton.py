@@ -43,6 +43,10 @@ class NewtonResult(NamedTuple):
     iters: jax.Array         # number of Newton iterations executed
     resid: jax.Array         # final residual norm / Newton decrement
     success: jax.Array       # bool
+    # (J,) histogram of accepted candidate indices (sigma = beta^j): the
+    # backtrack-count distribution the reference instrumented ad hoc
+    # (SURVEY.md §5: testing/plots/backtrack_distribution.png)
+    bt_hist: Optional[jax.Array] = None
 
 
 def _sigmas(cfg, dtype):
@@ -74,6 +78,7 @@ def newton_infeasible(oracle: Oracle, A, b, x0, v0, t, cfg) -> NewtonResult:
         resid: jax.Array
         done: jax.Array
         success: jax.Array
+        hist: jax.Array
 
     def cond(s: S):
         return (~s.done) & (s.it < cfg.max_inner_iters)
@@ -111,19 +116,21 @@ def newton_infeasible(oracle: Oracle, A, b, x0, v0, t, cfg) -> NewtonResult:
         v_new = s.v + sigma * dv
         res_new = jnp.where(any_acc, rn[j], r0)
 
+        hist = s.hist.at[j].add(any_acc.astype(jnp.int32))
         converged = res_new < cfg.inner_epsilon
         done = (~any_acc) | converged
         return S(x=x_new, v=v_new, it=s.it + 1, resid=res_new,
-                 done=done, success=converged)
+                 done=done, success=converged, hist=hist)
 
     init = S(
         x=x0, v=v0, it=jnp.zeros((), jnp.int32),
         resid=jnp.asarray(jnp.inf, dtype),
         done=jnp.zeros((), bool), success=jnp.zeros((), bool),
+        hist=jnp.zeros((sigmas.shape[0],), jnp.int32),
     )
     out = lax.while_loop(cond, body, init)
     return NewtonResult(x=out.x, v=out.v, iters=out.it, resid=out.resid,
-                        success=out.success)
+                        success=out.success, bt_hist=out.hist)
 
 
 def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
@@ -200,9 +207,15 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
         nd: jax.Array
         done: jax.Array
         success: jax.Array
+        hist: jax.Array
 
     def cond(s: S):
         return (~s.done) & (s.it < cfg.max_inner_iters)
+
+    def _sigma_index(sigma):
+        """Candidate index from the fused kernels' f32 sigma (exact-match
+        lookup: candidates are beta**k rounded once to f32)."""
+        return jnp.argmin(jnp.abs(sigmas - sigma.astype(dtype)))
 
     def body(s: S):
         if use_fused:
@@ -216,12 +229,14 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
             # decrement read small prematurely; only trust convergence
             # when the direction residual is small.
             nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
+            j = _sigma_index(_sigma)
         elif use_socp_fused:
             x_new, nd, _sigma, any_acc, dir_ok, _dx = (
                 pallas_socp.socp_newton_step_prepared(
                     sconsts, tq_s, s.x, tP_s, sigmas, alpha=cfg.alpha,
                     refine=cfg.pallas_refine))
             nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
+            j = _sigma_index(_sigma)
         else:
             g = oracle.grad(s.x, t)
             if use_mf:
@@ -253,6 +268,7 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
                 nd = jnp.where(rres < 1e-6, nd,
                                jnp.maximum(nd, cfg.inner_epsilon))
 
+        hist = s.hist.at[j].add(any_acc.astype(jnp.int32))
         converged = nd < cfg.inner_epsilon
         if phase1_flag:
             early = x_new[-1] < -phase1_tol
@@ -261,13 +277,15 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
         else:
             done = (~any_acc) | converged
             success = converged
-        return S(x=x_new, it=s.it + 1, nd=nd, done=done, success=success)
+        return S(x=x_new, it=s.it + 1, nd=nd, done=done, success=success,
+                 hist=hist)
 
     init = S(
         x=x0, it=jnp.zeros((), jnp.int32),
         nd=jnp.asarray(jnp.inf, dtype),
         done=jnp.zeros((), bool), success=jnp.zeros((), bool),
+        hist=jnp.zeros((sigmas.shape[0],), jnp.int32),
     )
     out = lax.while_loop(cond, body, init)
     return NewtonResult(x=out.x, v=None, iters=out.it, resid=out.nd,
-                        success=out.success)
+                        success=out.success, bt_hist=out.hist)
