@@ -39,7 +39,6 @@ def _single_qp(prob, x0, t0, cfg, num_constraints, eq_gate, use_phase1):
                          t0=t0, p1_oracle=p1)
 
 
-import dataclasses
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_constraints", "eq_gate",
@@ -47,10 +46,11 @@ import dataclasses
 def _batch_core(prob_batch, x0_batch, t0, cfg, num_constraints, eq_gate,
                 use_phase1, kind):
     single = _single_lp if kind == "lp" else _single_qp
-    # The fused Pallas Newton kernel is not yet validated under vmap
-    # (batching lifts pallas_call to an extra grid dimension); keep the
-    # batched path on the plain XLA engines.
-    cfg = dataclasses.replace(cfg, use_pallas=False)
+    # Batched solves use the fused Pallas Newton kernel when the engine's
+    # gates select it: Pallas lowers a vmapped pallas_call by prepending
+    # a grid dimension (validated on v5e by
+    # scripts/tpu_vmap_pallas_check.py — every instance matches its
+    # scipy-HiGHS optimum).
     fn = lambda p, x: single(p, x, t0, cfg, num_constraints, eq_gate,
                              use_phase1)
     return jax.vmap(fn)(prob_batch, x0_batch)
