@@ -124,32 +124,63 @@ def _outer_stage_core(prob, A, b, state, cfg, oracle_fn, num_constraints,
 
 
 def _barrier_staged(prob, A, b, x0, t0, cfg, oracle_fn, p1_oracle_fn,
-                    num_constraints, eq_gate) -> IPMResult:
-    """Host-stepped equivalent of _barrier_core."""
+                    num_constraints, eq_gate, checkpoint_path=None,
+                    resume=False) -> IPMResult:
+    """Host-stepped equivalent of _barrier_core.
+
+    ``checkpoint_path`` persists the full OuterState after every barrier
+    stage (atomic .npz); ``resume=True`` continues from the last
+    completed stage in that file instead of starting fresh — true
+    mid-solve resume (utils/checkpoint.py)."""
     from ..ops.ipm import Phase1Result, outer_init
+    from ..utils import checkpoint as _ckpt
 
     dtype = x0.dtype
     p1 = None
     x_start = x0
-    if p1_oracle_fn is not None:
-        st = _p1_init_core(prob, x0, cfg, p1_oracle_fn)
-        if float(st.z[-1]) >= 1.0:   # phase-1 gate (reference: LPSolver.py:546)
-            while (not bool(st.done)) and int(st.it) < cfg.max_outer_iters:
-                st = _p1_stage_core(prob, st, cfg, p1_oracle_fn)
-            p1 = Phase1Result(x=st.z[:-1], s=st.z[-1], outer_iters=st.it,
-                              newton_iters=st.newton_iters)
-            x_start = p1.x
-        else:
-            p1 = Phase1Result(
-                x=x0, s=jnp.asarray(-jnp.inf, dtype),
-                outer_iters=jnp.zeros((), jnp.int32),
-                newton_iters=jnp.zeros((), jnp.int32))
+    ck = (_ckpt.load_outer_state(checkpoint_path)
+          if (checkpoint_path is not None and resume) else None)
+    resume_outer = ck is not None and any(k.startswith("state_") for k in ck)
+    resume_p1 = ck is not None and not resume_outer
+    p1_failed = False
+    if resume_outer:
+        template = outer_init(x_start, None, jnp.asarray(t0, dtype), A,
+                              cfg, num_constraints)
+        state = _ckpt.restore_outer_state(template, ck)
+        p1 = _ckpt.restore_phase1(ck, dtype)
+    else:
+        if p1_oracle_fn is not None:
+            st = _p1_init_core(prob, x0, cfg, p1_oracle_fn)
+            if resume_p1:
+                st = _ckpt.restore_p1_state(st, ck)
+            if resume_p1 or float(st.z[-1]) >= 1.0:   # gate (LPSolver.py:546)
+                while (not bool(st.done)) and int(st.it) < cfg.max_outer_iters:
+                    st = _p1_stage_core(prob, st, cfg, p1_oracle_fn)
+                    if checkpoint_path is not None:
+                        _ckpt.save_p1_state(checkpoint_path,
+                                            jax.device_get(st))
+                p1 = Phase1Result(x=st.z[:-1], s=st.z[-1], outer_iters=st.it,
+                                  newton_iters=st.newton_iters)
+                x_start = p1.x
+                # cap hit without feasibility: skip the main loop (driver
+                # raises on phase1.s) and keep the phase-1 checkpoint so
+                # a resume continues phase one, not an infeasible barrier
+                p1_failed = not bool(st.done)
+            else:
+                p1 = Phase1Result(
+                    x=x0, s=jnp.asarray(-jnp.inf, dtype),
+                    outer_iters=jnp.zeros((), jnp.int32),
+                    newton_iters=jnp.zeros((), jnp.int32))
 
-    state = outer_init(x_start, None, jnp.asarray(t0, dtype), A, cfg,
-                       num_constraints)
-    while (not bool(state.done)) and int(state.it) < cfg.max_outer_iters:
+        state = outer_init(x_start, None, jnp.asarray(t0, dtype), A, cfg,
+                           num_constraints)
+    while (not p1_failed and not bool(state.done)
+           and int(state.it) < cfg.max_outer_iters):
         state = _outer_stage_core(prob, A, b, state, cfg, oracle_fn,
                                   num_constraints, eq_gate)
+        if checkpoint_path is not None:
+            _ckpt.save_outer_state(checkpoint_path, jax.device_get(state),
+                                   p1)
     return IPMResult(
         x=state.best_x, v=state.v if A is not None else None,
         value=state.best_obj, dual_gap=state.dual_gap, t=state.t,
@@ -319,7 +350,10 @@ class BarrierDriver:
 
         Parameters: ``resolve`` returns the cached optimum when False;
         kwargs may override ``t0``, ``x0``, ``max_outer_iters``,
-        ``track_loss``.
+        ``track_loss``; ``checkpoint_path`` persists the barrier state
+        after every stage (forcing host-stepped dispatch) and
+        ``resume=True`` continues from that file's last completed stage
+        (utils/checkpoint.py mid-solve resume).
         """
         if not resolve and self.optimal:
             return self.value
@@ -352,11 +386,18 @@ class BarrierDriver:
         A, b = self._eq
         eq_gate = cfg.eq_gate if cfg.eq_gate is not None else self._eq_gate_default
 
+        checkpoint_path = kwargs.get("checkpoint_path")
         staged = cfg.staged_dispatch
         if staged is None:
             staged = (jax.default_backend() == "tpu"
                       and self._staged_heuristic())
-        core = _barrier_staged if staged else _barrier_core
+        if checkpoint_path is not None:
+            # checkpointing requires host boundaries between stages
+            staged = True
+            core = partial(_barrier_staged, checkpoint_path=checkpoint_path,
+                           resume=bool(kwargs.get("resume", False)))
+        else:
+            core = _barrier_staged if staged else _barrier_core
 
         if self._reduced is not None:
             rf = self._reduced
