@@ -152,7 +152,8 @@ def _pad_rows(arr, rows, fill=0.0):
 def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
                          num_ineq: int, t0: float, mu: float, eps: float,
                          inner_eps: float, alpha: float, beta: float,
-                         J: int, max_outer: int, max_inner: int):
+                         J: int, max_outer: int, max_inner: int,
+                         has_P: bool = False):
     """Build the ONE jitted shard_map program for the full distributed LP
     barrier solve: outer t-loop and inner Newton loop are nested
     lax.while_loops with collectives (psum / all_gather / pmax) at the
@@ -168,8 +169,13 @@ def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
     1/(ub-x)^2, (ub-x)/dx limits, candidate slacks) evaluates to the
     correct no-op limit in IEEE arithmetic, so one compiled program
     serves all four bound configurations.
+
+    ``has_P`` switches the objective to the QP ½xᵀPx + cᵀx (reference:
+    QPSolver.py solves the same KKT system with H += t·P); P enters
+    replicated — it joins the replicated factorization, so sharding its
+    rows would only add communication.
     """
-    def prog(c, A, b, C, d, lb, ub, x0, v0):
+    def prog(c, Pm, A, b, C, d, lb, ub, x0, v0):
         dtype = x0.dtype
         sig = jnp.asarray(beta, dtype) ** jnp.arange(J, dtype=dtype)
 
@@ -178,13 +184,16 @@ def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
             s_C = d - C @ x
             inv_C = 1.0 / (s_C + SLACK_EPS)
             g = lax.psum(C.T @ inv_C, axis)
-            g = g + t * c + 1.0 / (ub - x + SLACK_EPS) \
+            grad0 = (Pm @ x + c) if has_P else c   # ∇f0 (replicated)
+            g = g + t * grad0 + 1.0 / (ub - x + SLACK_EPS) \
                 - 1.0 / (x - lb + SLACK_EPS)
 
             H = lax.psum(C.T @ (inv_C[:, None] ** 2 * C), axis)
             db = (1.0 / (ub - x + SLACK_EPS) ** 2
                   + 1.0 / (x - lb + SLACK_EPS) ** 2)
             H = H + jnp.diag(db)
+            if has_P:
+                H = H + t * Pm
 
             L = jnp.linalg.cholesky(H)
             solve = lambda B: jax.scipy.linalg.solve_triangular(
@@ -229,6 +238,8 @@ def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
             for _ in range(2):
                 w_l = lax.dynamic_slice_in_dim(w, idx, m_local)
                 Hdx = lax.psum(C.T @ (inv_C**2 * (C @ dx)), axis) + db * dx
+                if has_P:
+                    Hdx = Hdx + t * (Pm @ dx)
                 r1 = -g - Hdx - lax.psum(A.T @ w_l, axis)
                 r2_local = -rpri_local - A @ dx
                 f = solve_S(gather0(A @ solve(r1)) - gather0(r2_local))
@@ -268,7 +279,13 @@ def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
                               + SLACK_EPS)                    # (k_l, J)
             gb_cand = lax.psum(C.T @ cand_inv, axis)           # (n, J)
             xc = x[:, None] + sig[None, :] * dx[:, None]       # (n, J)
-            g_cand = (gb_cand + t * c[:, None]
+            if has_P:
+                # ∇f0(xc) = P x + σ P dx + c: one P dx matvec covers all J
+                Pdx = Pm @ dx
+                grad0_cand = (grad0[:, None] + sig[None, :] * Pdx[:, None])
+            else:
+                grad0_cand = c[:, None]
+            g_cand = (gb_cand + t * grad0_cand
                       + 1.0 / (ub[:, None] - xc + SLACK_EPS)
                       - 1.0 / (xc - lb[:, None] + SLACK_EPS))
             r_dual = g_cand + ATv[:, None] + sig[None, :] * ATdv[:, None]
@@ -318,7 +335,7 @@ def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
             (x0, v0, t_init, jnp.zeros((), jnp.int32),
              jnp.zeros((), jnp.int32), jnp.zeros((), bool)))
         x, v, t_fin, outer_it, total_nt, _ = out
-        obj = c @ x
+        obj = c @ x + (0.5 * x @ (Pm @ x) if has_P else 0.0)
         return x, v, obj, outer_it, total_nt
 
     spec_rows = P(axis, None)
@@ -326,8 +343,8 @@ def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
     rep = P()
     return jax.jit(shard_map(
         prog, mesh=mesh,
-        in_specs=(rep, spec_rows, spec_vec_rows, spec_rows, spec_vec_rows,
-                  rep, rep, rep, rep),
+        in_specs=(rep, rep, spec_rows, spec_vec_rows, spec_rows,
+                  spec_vec_rows, rep, rep, rep, rep),
         out_specs=(rep, rep, rep, rep, rep),
         check_vma=False,
     ))
@@ -356,6 +373,41 @@ def solve_lp_row_sharded(mesh: Mesh, c, A, b, C, d, lb=None, ub=None, *,
     zeros.  Returns a dict with x, v (true equality rows), objective and
     iteration counters.
     """
+    return _solve_row_sharded(
+        mesh, None, c, A, b, C, d, lb, ub, x0=x0, t0=t0, mu=mu,
+        epsilon=epsilon, inner_epsilon=inner_epsilon, alpha=alpha,
+        beta=beta, max_linesearch_steps=max_linesearch_steps,
+        max_outer_iters=max_outer_iters, max_inner_iters=max_inner_iters,
+        axis=axis)
+
+
+def solve_qp_row_sharded(mesh: Mesh, P_obj, c, A, b, C, d, lb=None,
+                         ub=None, *, x0=None, t0=1.0, mu=15.0,
+                         epsilon=1e-8, inner_epsilon=1e-8, alpha=0.2,
+                         beta=0.6, max_linesearch_steps=40,
+                         max_outer_iters=30, max_inner_iters=60,
+                         axis: str = "rows"):
+    """Distributed QP barrier solve: min ½xᵀPx + cᵀx s.t. Ax = b,
+    Cx ≤ d, lb ≤ x ≤ ub, with constraint rows sharded over the mesh.
+
+    Same single-program structure as ``solve_lp_row_sharded``; P (PSD)
+    stays replicated — it feeds the replicated H factorization, and each
+    chip's candidate sweep reuses one P·dx matvec across all J
+    backtracking candidates.  (Reference QP semantics: QPSolver.py; the
+    distribution scheme is new TPU-native capability.)
+    """
+    return _solve_row_sharded(
+        mesh, P_obj, c, A, b, C, d, lb, ub, x0=x0, t0=t0, mu=mu,
+        epsilon=epsilon, inner_epsilon=inner_epsilon, alpha=alpha,
+        beta=beta, max_linesearch_steps=max_linesearch_steps,
+        max_outer_iters=max_outer_iters, max_inner_iters=max_inner_iters,
+        axis=axis)
+
+
+def _solve_row_sharded(mesh, P_obj, c, A, b, C, d, lb, ub, *, x0, t0, mu,
+                       epsilon, inner_epsilon, alpha, beta,
+                       max_linesearch_steps, max_outer_iters,
+                       max_inner_iters, axis):
     ndev = mesh.shape[axis]
     c = jnp.asarray(c, jnp.float64)
     n = c.shape[0]
@@ -387,15 +439,22 @@ def solve_lp_row_sharded(mesh: Mesh, c, A, b, C, d, lb=None, ub=None, *,
     x0 = jnp.asarray(x0, dtype)
     v0 = jnp.zeros((mp,), dtype)
 
+    has_P = P_obj is not None
+    # the (1, 1) placeholder keeps one positional signature; has_P is
+    # static, so the no-P program never touches it
+    Pm = (jnp.asarray(P_obj, dtype) if has_P
+          else jnp.zeros((1, 1), dtype))
+
     prog = _row_sharded_barrier(
         mesh, axis, m_true=m_true, k_true=k_true, num_ineq=num_ineq,
         t0=float(t0), mu=float(mu), eps=float(epsilon),
         inner_eps=float(inner_epsilon), alpha=float(alpha),
         beta=float(beta), J=int(max_linesearch_steps),
-        max_outer=int(max_outer_iters), max_inner=int(max_inner_iters))
+        max_outer=int(max_outer_iters), max_inner=int(max_inner_iters),
+        has_P=has_P)
 
     x, v, obj, outer_it, total_nt = prog(
-        c, shard_rows(mesh, A_p, axis), shard_rows(mesh, b_p, axis),
+        c, Pm, shard_rows(mesh, A_p, axis), shard_rows(mesh, b_p, axis),
         shard_rows(mesh, C_p, axis), shard_rows(mesh, d_p, axis),
         lb_v, ub_v, x0, v0)
     return dict(x=x, v=v[:m_true], objective=obj,

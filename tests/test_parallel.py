@@ -11,7 +11,8 @@ from interiorpoint_tpu.models.problem import make_lp
 from interiorpoint_tpu.parallel.batch import (
     solve_batch, solve_lasso_sharded, stack_problems)
 from interiorpoint_tpu.parallel.distributed import (
-    row_sharded_lp_newton_step, shard_rows, solve_lp_row_sharded)
+    row_sharded_lp_newton_step, shard_rows, solve_lp_row_sharded,
+    solve_qp_row_sharded)
 from interiorpoint_tpu.parallel.mesh import make_mesh
 from interiorpoint_tpu.utils.config import AdmmConfig, SolverConfig
 
@@ -170,3 +171,38 @@ def test_row_sharded_full_solve_unbounded_vars():
     res = solve_lp_row_sharded(mesh, c, A, b, C, d, x0=x_feas,
                                epsilon=1e-9)
     np.testing.assert_allclose(float(res["objective"]), ref.fun, rtol=2e-6)
+
+
+def test_row_sharded_qp_matches_slsqp():
+    """Distributed QP (P replicated, constraint rows sharded, row counts
+    not divisible by the mesh) must match an independent SLSQP solve."""
+    from scipy.optimize import minimize
+
+    mesh = make_mesh(8, ("rows",))
+    rng = np.random.default_rng(31)
+    n, m, k = 24, 10, 13
+    M = rng.uniform(-1, 1, (n, n))
+    P = M @ M.T + np.eye(n)
+    A = rng.uniform(-2, 2, (m, n))
+    C = rng.uniform(-2, 2, (k, n))
+    x_feas = rng.uniform(-1, 1, n)
+    c = rng.uniform(-2, 2, n)
+    b = A @ x_feas
+    d = C @ x_feas + 0.5
+    f = lambda x: 0.5 * x @ P @ x + c @ x
+    ref = minimize(
+        f, x_feas, jac=lambda x: P @ x + c, method="SLSQP",
+        constraints=[
+            {"type": "eq", "fun": lambda x: A @ x - b,
+             "jac": lambda x: A},
+            {"type": "ineq", "fun": lambda x: d - C @ x,
+             "jac": lambda x: -C}],
+        bounds=[(-3, 3)] * n, options={"maxiter": 500, "ftol": 1e-12})
+    assert ref.success
+    res = solve_qp_row_sharded(mesh, P, c, A, b, C, d, lb=-3.0, ub=3.0,
+                               x0=x_feas, epsilon=1e-9)
+    np.testing.assert_allclose(float(res["objective"]), ref.fun,
+                               rtol=1e-6, atol=1e-8)
+    x = np.asarray(res["x"])
+    assert np.abs(A @ x - b).max() < 1e-6
+    assert (C @ x - d).max() < 1e-9
