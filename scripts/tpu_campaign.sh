@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-2 TPU measurement campaign: hardware smokes for the two new
+# kernels, then the chained benchmark points.  Each step is its own
+# process (isolated crash domains); logs stream to /tmp/round2_campaign.log.
+cd /root/repo || exit 1
+export PYTHONPATH=/root/repo:/root/.axon_site
+export JAX_COMPILATION_CACHE_DIR=/tmp/ip_tpu_jax_cache
+
+# Wait for a chip claim to become available (devices() blocks while the
+# pool is busy); don't start the long steps until a trivial probe works.
+for i in $(seq 1 20); do
+  echo "=== probe attempt $i $(date)"
+  timeout 900 python -u -c "
+import jax, numpy as np, time
+t0 = time.time()
+print('devices', jax.devices(), flush=True)
+print('d2h', np.asarray(jax.numpy.ones(8)*2.0)[:1], f'{time.time()-t0:.0f}s',
+      flush=True)" && break
+  echo "=== probe failed, retrying in 120s"
+  sleep 120
+done
+
+echo "=== stream smoke $(date)"
+timeout 2700 python -u scripts/tpu_stream_smoke.py
+echo "=== stream smoke exit=$? $(date)"
+
+echo "=== socp smoke $(date)"
+timeout 2700 python -u scripts/tpu_socp_smoke.py 1000
+echo "=== socp smoke exit=$? $(date)"
+
+echo "=== measure $(date)"
+timeout 9000 python -u scripts/tpu_round2_measure.py
+echo "=== measure exit=$? $(date)"
+echo "=== campaign done $(date)"

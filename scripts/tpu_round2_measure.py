@@ -62,6 +62,25 @@ def main():
             "vs_baseline": (round(baseline / mean_s, 3)
                             if baseline else None)}), flush=True)
 
+    # roofline: achieved fused-step FLOP/s vs v5e peak (BASELINE.md:89)
+    for suite, n in ([] if QUICK else
+                     [("lp", 1000), ("lp", 3000), ("lp", 5000),
+                      ("qp", 1000)]):
+        t0 = time.time()
+        try:
+            res = bench.roofline(suite, n, 10, "float64")
+        except Exception as e:
+            print(f"# roofline {suite} n={n} FAILED after "
+                  f"{time.time()-t0:.0f}s: {e!r}", flush=True)
+            continue
+        print(f"# roofline {suite} n={n}: k={res['k']} r={res['r']} "
+              f"mode={res['mode']} {res['step_ms']:.2f} ms/step", flush=True)
+        print(json.dumps({
+            "metric": f"{suite}_n{n}_fused_step_tflops",
+            "value": round(res["achieved_tflops"], 3), "unit": "TFLOP/s",
+            "vs_baseline": round(res["frac_f32_eff_peak"], 4)}),
+            flush=True)
+
 
 if __name__ == "__main__":
     main()
