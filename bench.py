@@ -229,13 +229,18 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     if args.roofline:
-        res = roofline(args.suite, args.n, max(args.reps, 10), args.dtype)
+        # roofline covers the fused-kernel suites only; the default "all"
+        # means LP here (don't mislabel an LP-only measurement as "all")
+        suite = "lp" if args.suite == "all" else args.suite
+        if suite not in ("lp", "qp"):
+            sys.exit(f"--roofline supports lp/qp, not {suite}")
+        res = roofline(suite, args.n, max(args.reps, 10), args.dtype)
         print(f"# roofline {res['suite']} n={res['n']}: reduced shape "
               f"k={res['k']} r={res['r']} mode={res['mode']}, "
               f"{res['step_ms']:.2f} ms/step, "
               f"{res['useful_gflop']:.2f} GFLOP useful", file=sys.stderr)
         print(json.dumps({
-            "metric": f"{args.suite}_n{args.n}_fused_step_tflops",
+            "metric": f"{suite}_n{args.n}_fused_step_tflops",
             "value": round(res["achieved_tflops"], 3),
             "unit": "TFLOP/s",
             "vs_baseline": round(res["frac_f32_eff_peak"], 4),

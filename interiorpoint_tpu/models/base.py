@@ -259,6 +259,7 @@ class BarrierDriver:
         self.outer_iters = 0
         self.inner_iters = []
         self.objective_vals = []
+        self.backtrack_hist = None
         self.feasible = None
         self.cvxpy_val = None
         self.cvxpy_sol = None
@@ -333,9 +334,12 @@ class BarrierDriver:
                     and self.cfg.mixed_precision
                     and self.cfg.kkt_strategy == "cholesky"
                     and self.cfg.dtype == "float64"):
-                from ..ops.pallas_newton import supported
+                from ..ops.pallas_newton import kernel_mode
                 P = getattr(prob, "P", None)
-                if supported(*C.shape, P is not None):
+                # Both the all-VMEM and the HBM-streaming kernel regimes
+                # keep per-step device time in the ms range, so either one
+                # stays single-program.
+                if kernel_mode(*C.shape, P is not None) is not None:
                     return False
         return self.n >= 2000
 

@@ -35,6 +35,9 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     JAX is already initialized or single-process."""
     if num_processes is None or num_processes <= 1:
         return
+    state = getattr(jax.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return  # already initialized (retrying launchers call this twice)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes, process_id=process_id)
@@ -408,6 +411,8 @@ def _solve_row_sharded(mesh, P_obj, c, A, b, C, d, lb, ub, *, x0, t0, mu,
                        epsilon, inner_epsilon, alpha, beta,
                        max_linesearch_steps, max_outer_iters,
                        max_inner_iters, axis):
+    from ..models.base import ensure_x64
+    ensure_x64("float64")  # every other public entry point forces x64 too
     ndev = mesh.shape[axis]
     c = jnp.asarray(c, jnp.float64)
     n = c.shape[0]

@@ -94,14 +94,32 @@ def load_outer_state(path):
 
 def _restore_namedtuple(template, data, prefix):
     """Rebuild a state NamedTuple from checkpoint arrays, casting each
-    leaf to the template's dtype (the template comes from the same
-    init function on the same problem/config)."""
+    leaf to the template's dtype and reconciling trace-array lengths.
+
+    The template comes from the same init function on the same problem
+    but the *resuming* config — its cap-sized 1-D traces (obj_vals /
+    inner_iters over max_outer_iters, bt_hist over max_linesearch_steps)
+    may be longer than the checkpointed run's.  A shorter checkpoint
+    trace is placed into the head of the template's (already
+    init-valued) array; a longer one cannot fit without dropping
+    recorded history, so that raises instead of silently truncating."""
     import jax.numpy as jnp
 
     kwargs = {}
     for k, tv in template._asdict().items():
-        arr = jnp.asarray(data[f"{prefix}{k}"])
-        kwargs[k] = arr.astype(tv.dtype)
+        arr = jnp.asarray(data[f"{prefix}{k}"]).astype(tv.dtype)
+        if arr.shape != tv.shape:
+            if (k in ("inner_iters", "obj_vals", "bt_hist")
+                    and arr.ndim == 1 and tv.ndim == 1
+                    and arr.shape[0] < tv.shape[0]):
+                arr = tv.at[: arr.shape[0]].set(arr)
+            else:
+                raise ValueError(
+                    f"checkpoint field {k!r} has shape {arr.shape} but the "
+                    f"resuming config expects {tv.shape}; resume with caps "
+                    "(max_outer_iters / max_linesearch_steps) at least as "
+                    "large as the checkpointed run's")
+        kwargs[k] = arr
     return template.__class__(**kwargs)
 
 

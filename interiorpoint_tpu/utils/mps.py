@@ -48,6 +48,10 @@ def parse_mps(path):
                 section = parts[0].upper()
                 if section == "NAME" and len(parts) > 1:
                     name = parts[1]
+                # one-line form "OBJSENSE MAX" (sense on the header line;
+                # emitted by several writers, accepted by HiGHS/Gurobi)
+                if section == "OBJSENSE" and len(parts) > 1:
+                    sense = parts[1].upper()[:3]
                 if section == "ENDATA":
                     break
                 continue
@@ -81,8 +85,23 @@ def parse_mps(path):
                     ranges[parts[i]] = float(parts[i + 1])
             elif section == "BOUNDS":
                 key = parts[0].upper()
-                cname = parts[2]
-                val = float(parts[3]) if len(parts) > 3 else None
+                if key in ("UP", "LO", "FX", "UI", "LI"):
+                    # value-carrying keys: "KEY BNDSET COL VAL", or the
+                    # free-format 3-token "KEY COL VAL" (no set name)
+                    try:
+                        if len(parts) >= 4:
+                            cname, val = parts[2], float(parts[3])
+                        elif len(parts) == 3:
+                            cname, val = parts[1], float(parts[2])
+                        else:
+                            raise IndexError
+                    except (ValueError, IndexError):
+                        raise ValueError(
+                            f"BOUNDS {key} line missing its value: "
+                            f"{line!r}") from None
+                else:   # FR/MI/PL/BV take no value
+                    cname = parts[2] if len(parts) > 2 else parts[1]
+                    val = None
                 bounds.setdefault(cname, []).append((key, val))
     return dict(name=name, sense=sense, obj_row=obj_row, rows=rows,
                 row_order=row_order, cols=cols, col_order=col_order,

@@ -108,3 +108,46 @@ def test_phase1_checkpoint_resume(tmp_path):
     assert abs(v2 - v_ref) / max(abs(v_ref), 1.0) < 1e-8
     # resumed phase one continued from stage 2: same final stage counter
     assert int(res._result.phase1.outer_iters) == p1_stages
+
+
+def test_midsolve_resume_reconciles_trace_caps(tmp_path):
+    """Resuming under a different config cap must not lose history: the
+    partial run's max_outer_iters=mid sizes its checkpointed obj_vals /
+    inner_iters traces at mid, and the resume (default cap) must place
+    them in the head of its larger trace arrays so the final
+    objective_vals covers EVERY stage (utils/checkpoint.py
+    _restore_namedtuple reconciliation).  A resume whose caps are
+    SMALLER than the checkpoint's raises instead of truncating."""
+    import pytest
+
+    c, A, b, C, d = _gen(seed=23)
+    kw = dict(c=c, A=A, b=b, C=C, d=d, lower_bound=-3, upper_bound=3,
+              suppress_print=True, check_cvxpy=False, epsilon=1e-9,
+              staged_dispatch=True)
+    ref = LPSolver(**kw)
+    v_ref = ref.solve()
+    total = ref.outer_iters
+    p1 = ref._result.phase1
+    p1_stages = (int(p1.outer_iters)
+                 if p1 is not None and np.isfinite(p1.s) else 0)
+    mid = p1_stages + 2
+    assert mid < total
+
+    path = str(tmp_path / "mid.npz")
+    part = LPSolver(**kw)
+    part.solve(max_outer_iters=mid, checkpoint_path=path)
+
+    res = LPSolver(**kw)
+    v2 = res.solve(checkpoint_path=path, resume=True)
+    assert abs(v2 - v_ref) / max(abs(v_ref), 1.0) < 1e-8
+    # the full trace: checkpointed head + resumed tail, no dropped stages
+    assert len(res.objective_vals) == total
+    assert len(res.inner_iters) == total
+    ref_tail = ref.objective_vals[mid:]
+    np.testing.assert_allclose(res.objective_vals[mid:], ref_tail,
+                               rtol=1e-8)
+
+    small = LPSolver(**kw)
+    with pytest.raises(ValueError, match="at least as large"):
+        small.solve(max_outer_iters=mid - 1, checkpoint_path=path,
+                    resume=True)

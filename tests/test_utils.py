@@ -241,6 +241,49 @@ def test_mps_to_npy_solver_roundtrip(tmp_path):
     assert abs(solver.value - ref.fun) / abs(ref.fun) < 1e-4
 
 
+def test_mps_objsense_forms(tmp_path):
+    """Both OBJSENSE spellings: the indented-data-line form and the
+    one-line header form 'OBJSENSE MAXIMIZE' (emitted by several
+    writers, accepted by HiGHS/Gurobi)."""
+    from interiorpoint_tpu.utils import mps
+
+    base = ("ROWS\n N  OBJ\n L  CAP\nCOLUMNS\n"
+            "    X1        OBJ       2.0   CAP       1.0\n"
+            "RHS\n    RHS       CAP       4.0\nENDATA\n")
+    for header in ("OBJSENSE\n    MAXIMIZE\n", "OBJSENSE MAXIMIZE\n",
+                   "OBJSENSE MAX\n"):
+        path = str(tmp_path / "s.mps")
+        with open(path, "w") as f:
+            f.write("NAME S\n" + header + base)
+        parsed = mps.parse_mps(path)
+        assert parsed["sense"] == "MAX"
+        c, *_ = mps.lp_relaxation(parsed)
+        np.testing.assert_allclose(c, [-2.0])   # negated for max
+
+
+def test_mps_bounds_free_format_and_missing_value(tmp_path):
+    """BOUNDS edge forms: the free-format 3-token 'UP COL VAL' line (no
+    bound-set name) must keep the bound, and a value-carrying key with
+    the value column missing must raise a parse error rather than
+    propagate None into the bound arrays."""
+    import pytest
+    from interiorpoint_tpu.utils import mps
+
+    tmpl = ("NAME S\nROWS\n N  OBJ\n L  CAP\nCOLUMNS\n"
+            "    X1        OBJ       1.0   CAP       1.0\n"
+            "RHS\n    RHS       CAP       4.0\nBOUNDS\n{}ENDATA\n")
+    path = str(tmp_path / "b.mps")
+    with open(path, "w") as f:
+        f.write(tmpl.format(" UP X1 2.5\n"))
+    _, _, _, _, _, ub, _ = mps.lp_relaxation(mps.parse_mps(path))
+    np.testing.assert_allclose(ub, [2.5])
+
+    with open(path, "w") as f:
+        f.write(tmpl.format(" UP BND X1\n"))
+    with pytest.raises(ValueError, match="BOUNDS UP"):
+        mps.parse_mps(path)
+
+
 def test_miplib_instance_regression():
     """Real-instance regression (reference: testSolver.py:278-435 on
     30n20b8/aflow40b).  The blobs are regenerable from public MPS sources
