@@ -156,7 +156,9 @@ def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
                          num_ineq: int, t0: float, mu: float, eps: float,
                          inner_eps: float, alpha: float, beta: float,
                          J: int, max_outer: int, max_inner: int,
-                         has_P: bool = False):
+                         has_P: bool = False, distributed_factor=False,
+                         factor_dtype: str = "float64",
+                         chol_block: int = 256, ndev: int = 1):
     """Build the ONE jitted shard_map program for the full distributed LP
     barrier solve: outer t-loop and inner Newton loop are nested
     lax.while_loops with collectives (psum / all_gather / pmax) at the
@@ -177,7 +179,56 @@ def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
     QPSolver.py solves the same KKT system with H += t·P); P enters
     replicated — it joins the replicated factorization, so sharding its
     rows would only add communication.
+
+    ``distributed_factor`` replaces the two replicated Cholesky factors
+    (the serial Amdahl core of the iteration, binding scaling efficiency
+    at high chip counts) with the cooperative block-cyclic factor of
+    ``parallel/chol.py`` — trailing-update FLOPs split 1/ndev per chip.
+    ``factor_dtype="float32"`` factors in f32 with Jacobi scaling (the
+    mixed-precision strategy of the single-chip path, ops/kkt.py:
+    emulated-f64 Cholesky on TPU is ~14× slower than f32); the KKT
+    iterative-refinement rounds against true f64 residuals then restore
+    the direction, with one extra round to cover the larger factor
+    error.  Both options leave the iterate math (residuals, line
+    search, convergence tests) in full precision.
     """
+    from .chol import dist_cholesky
+
+    mixed = factor_dtype == "float32"
+
+    def _chol(M):
+        if distributed_factor:
+            return dist_cholesky(M, axis, ndev, chol_block)
+        return jnp.linalg.cholesky(M)
+
+    def _make_solve(M, dtype, f32_factor=False):
+        """Factor M and return solve(B) in the iterate dtype.  With
+        ``f32_factor`` the factor/trisolves run f32 on a Jacobi-scaled
+        matrix (unit diagonal ⇒ entries in [-1,1], no overflow),
+        callers' refinement restores accuracy."""
+        if f32_factor and dtype != jnp.float32:
+            dsc = 1.0 / jnp.sqrt(jnp.maximum(
+                jnp.diag(M), jnp.asarray(1e-300, dtype)))
+            Ms = (dsc[:, None] * M * dsc[None, :]).astype(jnp.float32)
+            Lf = _chol(Ms)
+
+            def solve(B):
+                vec = B.ndim == 1
+                B2 = B[:, None] if vec else B
+                Bs = (dsc[:, None] * B2).astype(jnp.float32)
+                Y = jax.scipy.linalg.solve_triangular(Lf, Bs, lower=True)
+                Z = jax.scipy.linalg.solve_triangular(Lf.T, Y, lower=False)
+                out = dsc[:, None] * Z.astype(dtype)
+                return out[:, 0] if vec else out
+        else:
+            Lf = _chol(M)
+
+            def solve(B):
+                Y = jax.scipy.linalg.solve_triangular(Lf, B, lower=True)
+                return jax.scipy.linalg.solve_triangular(Lf.T, Y,
+                                                         lower=False)
+        return solve
+
     def prog(c, Pm, A, b, C, d, lb, ub, x0, v0):
         dtype = x0.dtype
         sig = jnp.asarray(beta, dtype) ** jnp.arange(J, dtype=dtype)
@@ -198,58 +249,88 @@ def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
             if has_P:
                 H = H + t * Pm
 
-            L = jnp.linalg.cholesky(H)
-            solve = lambda B: jax.scipy.linalg.solve_triangular(
-                L.T, jax.scipy.linalg.solve_triangular(L, B, lower=True),
-                lower=False)
-
             rpri_local = A @ x - b
-            Y_local = solve(A.T)                   # (n, m_local) panel
-            Y = lax.all_gather(Y_local, axis, axis=1, tiled=True)  # (n, m)
-            S_rows = A @ Y                         # (m_local, m) panel rows
-            S = lax.all_gather(S_rows, axis, axis=0, tiled=True)
-            S = 0.5 * (S + S.T)
-            mg = S.shape[0]
-            # +1 diagonal on padded equality rows keeps S SPD (their rhs
-            # is 0 so w stays 0 there); the trace-relative jitter keeps
-            # the factor finite at deep barrier stages where the
-            # A·H^-1·A^T roundoff turns S numerically indefinite (the
-            # distributed analogue of ops/kkt.py robust_cholesky).
-            pad_diag = (jnp.arange(mg) >= m_true).astype(dtype)
-            jit_s = 1e-13 * jnp.max(jnp.diag(S))
-            S = S + jnp.diag(pad_diag + jit_s)
-            Ls = jnp.linalg.cholesky(S)
-            solve_S = lambda r: jax.scipy.linalg.solve_triangular(
-                Ls.T, jax.scipy.linalg.solve_triangular(Ls, r, lower=True),
-                lower=False)
-
             m_local = A.shape[0]
             idx = lax.axis_index(axis) * m_local
             gather0 = lambda u: lax.all_gather(u, axis, axis=0, tiled=True)
 
-            # block elimination: S w = A H^-1 r1 - r2 at [r1; r2] =
-            # [-g; -rpri] (reference: NewtonSolverInfeasibleStart.py:386-511)
-            rhs = gather0(rpri_local) - gather0(A @ solve(g))
-            w = solve_S(rhs)
-            w_local = lax.dynamic_slice_in_dim(w, idx, m_local)
-            dx = -solve(g + lax.psum(A.T @ w_local, axis))
-
-            # KKT iterative refinement (factors reused): the ill-
-            # conditioned deep-stage H makes one elimination pass drift
-            # off the equality manifold; correcting against the TRUE
-            # residuals restores it while kappa(H)*eps64 < 1.
-            for _ in range(2):
-                w_l = lax.dynamic_slice_in_dim(w, idx, m_local)
+            def _kkt_apply(dx, w_l):
+                """True KKT operator at (dx, w): (H dx + Aᵀw, A dx)."""
                 Hdx = lax.psum(C.T @ (inv_C**2 * (C @ dx)), axis) + db * dx
                 if has_P:
                     Hdx = Hdx + t * (Pm @ dx)
-                r1 = -g - Hdx - lax.psum(A.T @ w_l, axis)
-                r2_local = -rpri_local - A @ dx
-                f = solve_S(gather0(A @ solve(r1)) - gather0(r2_local))
-                f_l = lax.dynamic_slice_in_dim(f, idx, m_local)
-                e = solve(r1 - lax.psum(A.T @ f_l, axis))
-                dx = dx + e
-                w = w + f
+                return Hdx + lax.psum(A.T @ w_l, axis), A @ dx
+
+            def _direction(f32_factor):
+                """Factor H and the Schur complement (replicated or
+                cooperative, f64 or Jacobi-scaled f32) and run the block
+                elimination + iterative refinement for (dx, w)."""
+                solve = _make_solve(H, dtype, f32_factor)
+                Y_local = solve(A.T)               # (n, m_local) panel
+                Y = lax.all_gather(Y_local, axis, axis=1, tiled=True)
+                S_rows = A @ Y                     # (m_local, m) rows
+                S = lax.all_gather(S_rows, axis, axis=0, tiled=True)
+                S = 0.5 * (S + S.T)
+                mg = S.shape[0]
+                # +1 diagonal on padded equality rows keeps S SPD (their
+                # rhs is 0 so w stays 0 there); the trace-relative jitter
+                # keeps the factor finite at deep barrier stages where
+                # the A·H^-1·A^T roundoff turns S numerically indefinite
+                # (the distributed analogue of ops/kkt.py
+                # robust_cholesky).
+                pad_diag = (jnp.arange(mg) >= m_true).astype(dtype)
+                jit_s = 1e-13 * jnp.max(jnp.diag(S))
+                S = S + jnp.diag(pad_diag + jit_s)
+                solve_S = _make_solve(S, dtype, f32_factor)
+
+                # block elimination: S w = A H^-1 r1 - r2 at [r1; r2] =
+                # [-g; -rpri] (reference:
+                # NewtonSolverInfeasibleStart.py:386-511)
+                rhs = gather0(rpri_local) - gather0(A @ solve(g))
+                w = solve_S(rhs)
+                w_local = lax.dynamic_slice_in_dim(w, idx, m_local)
+                dx = -solve(g + lax.psum(A.T @ w_local, axis))
+
+                # KKT iterative refinement (factors reused): the ill-
+                # conditioned deep-stage H makes one elimination pass
+                # drift off the equality manifold; correcting against
+                # the TRUE residuals restores it while
+                # kappa(H)*eps_factor < 1 (one extra round covers the
+                # larger f32 factor error).
+                for _ in range(3 if f32_factor else 2):
+                    w_l = lax.dynamic_slice_in_dim(w, idx, m_local)
+                    dual, Adx = _kkt_apply(dx, w_l)
+                    r1 = -g - dual
+                    r2_local = -rpri_local - Adx
+                    f = solve_S(gather0(A @ solve(r1)) - gather0(r2_local))
+                    f_l = lax.dynamic_slice_in_dim(f, idx, m_local)
+                    e = solve(r1 - lax.psum(A.T @ f_l, axis))
+                    dx = dx + e
+                    w = w + f
+                return dx, w
+
+            if mixed:
+                dx, w = _direction(True)
+                # f32-factor stall detection: refinement converges only
+                # while kappa(H)*eps32 < 1; at deep barrier stages it
+                # diverges and the direction is unusable.  Check the
+                # TRUE post-refinement KKT residual (replicated, so the
+                # cond predicate is uniform across chips) and redo the
+                # step with the exact-f64 factor when it stalled — the
+                # distributed analogue of ops/kkt.py's
+                # refinement-stall escalation.
+                w_l = lax.dynamic_slice_in_dim(w, idx, m_local)
+                dual, _ = _kkt_apply(dx, w_l)
+                r1n = jnp.sum((g + dual) ** 2)
+                r2n = lax.psum(jnp.sum((rpri_local + A @ dx) ** 2), axis)
+                scale = (jnp.sum(g**2)
+                         + lax.psum(jnp.sum(rpri_local**2), axis)
+                         + jnp.asarray(1e-300, dtype))
+                ok = (r1n + r2n) < 1e-16 * scale
+                dx, w = lax.cond(ok, lambda _: (dx, w),
+                                 lambda _: _direction(False), None)
+            else:
+                dx, w = _direction(False)
 
             w_local = lax.dynamic_slice_in_dim(w, idx, m_local)
             dv = w - v
@@ -357,7 +438,9 @@ def solve_lp_row_sharded(mesh: Mesh, c, A, b, C, d, lb=None, ub=None, *,
                          x0=None, t0=1.0, mu=15.0, epsilon=1e-8,
                          inner_epsilon=1e-8, alpha=0.2, beta=0.6,
                          max_linesearch_steps=40, max_outer_iters=30,
-                         max_inner_iters=60, axis: str = "rows"):
+                         max_inner_iters=60, axis: str = "rows",
+                         distributed_factor=False,
+                         factor_dtype="float64", chol_block=256):
     """Full distributed LP barrier solve with constraint rows sharded over
     the mesh: min c.x s.t. Ax = b, Cx <= d, lb <= x <= ub.
 
@@ -375,13 +458,19 @@ def solve_lp_row_sharded(mesh: Mesh, c, A, b, C, d, lb=None, ub=None, *,
     first, or pass interior bounds); the default is the bound midpoint or
     zeros.  Returns a dict with x, v (true equality rows), objective and
     iteration counters.
+
+    ``distributed_factor=True`` factors H and S cooperatively across the
+    mesh (parallel/chol.py) instead of replicating the Cholesky;
+    ``factor_dtype="float32"`` uses the mixed-precision factor path
+    (see ``_row_sharded_barrier``).
     """
     return _solve_row_sharded(
         mesh, None, c, A, b, C, d, lb, ub, x0=x0, t0=t0, mu=mu,
         epsilon=epsilon, inner_epsilon=inner_epsilon, alpha=alpha,
         beta=beta, max_linesearch_steps=max_linesearch_steps,
         max_outer_iters=max_outer_iters, max_inner_iters=max_inner_iters,
-        axis=axis)
+        axis=axis, distributed_factor=distributed_factor,
+        factor_dtype=factor_dtype, chol_block=chol_block)
 
 
 def solve_qp_row_sharded(mesh: Mesh, P_obj, c, A, b, C, d, lb=None,
@@ -389,7 +478,8 @@ def solve_qp_row_sharded(mesh: Mesh, P_obj, c, A, b, C, d, lb=None,
                          epsilon=1e-8, inner_epsilon=1e-8, alpha=0.2,
                          beta=0.6, max_linesearch_steps=40,
                          max_outer_iters=30, max_inner_iters=60,
-                         axis: str = "rows"):
+                         axis: str = "rows", distributed_factor=False,
+                         factor_dtype="float64", chol_block=256):
     """Distributed QP barrier solve: min ½xᵀPx + cᵀx s.t. Ax = b,
     Cx ≤ d, lb ≤ x ≤ ub, with constraint rows sharded over the mesh.
 
@@ -404,13 +494,15 @@ def solve_qp_row_sharded(mesh: Mesh, P_obj, c, A, b, C, d, lb=None,
         epsilon=epsilon, inner_epsilon=inner_epsilon, alpha=alpha,
         beta=beta, max_linesearch_steps=max_linesearch_steps,
         max_outer_iters=max_outer_iters, max_inner_iters=max_inner_iters,
-        axis=axis)
+        axis=axis, distributed_factor=distributed_factor,
+        factor_dtype=factor_dtype, chol_block=chol_block)
 
 
 def _solve_row_sharded(mesh, P_obj, c, A, b, C, d, lb, ub, *, x0, t0, mu,
                        epsilon, inner_epsilon, alpha, beta,
                        max_linesearch_steps, max_outer_iters,
-                       max_inner_iters, axis):
+                       max_inner_iters, axis, distributed_factor=False,
+                       factor_dtype="float64", chol_block=256):
     from ..models.base import ensure_x64
     ensure_x64("float64")  # every other public entry point forces x64 too
     ndev = mesh.shape[axis]
@@ -456,7 +548,8 @@ def _solve_row_sharded(mesh, P_obj, c, A, b, C, d, lb, ub, *, x0, t0, mu,
         inner_eps=float(inner_epsilon), alpha=float(alpha),
         beta=float(beta), J=int(max_linesearch_steps),
         max_outer=int(max_outer_iters), max_inner=int(max_inner_iters),
-        has_P=has_P)
+        has_P=has_P, distributed_factor=bool(distributed_factor),
+        factor_dtype=factor_dtype, chol_block=int(chol_block), ndev=ndev)
 
     x, v, obj, outer_it, total_nt = prog(
         c, Pm, shard_rows(mesh, A_p, axis), shard_rows(mesh, b_p, axis),

@@ -206,3 +206,59 @@ def test_row_sharded_qp_matches_slsqp():
     x = np.asarray(res["x"])
     assert np.abs(A @ x - b).max() < 1e-6
     assert (C @ x - d).max() < 1e-9
+
+
+def test_dist_cholesky_matches_dense():
+    """parallel/chol.py block-cyclic factor vs jnp.linalg.cholesky on
+    the virtual mesh: odd sizes, several block widths, both dtypes."""
+    from interiorpoint_tpu.parallel.chol import dist_cholesky
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(8, ("rows",))
+    rng = np.random.default_rng(5)
+    for n, bs in [(37, 8), (130, 32), (333, 64)]:
+        M = rng.standard_normal((n, n))
+        H = M @ M.T + n * np.eye(n)
+        f = jax.jit(shard_map(
+            lambda Hm: dist_cholesky(Hm, "rows", 8, bs), mesh=mesh,
+            in_specs=(P(),), out_specs=P(), check_vma=False))
+        L = np.asarray(f(jnp.asarray(H)))
+        Lref = np.linalg.cholesky(H)
+        err = np.abs(L - Lref).max() / np.abs(Lref).max()
+        assert err < 1e-12, (n, bs, err)
+        # f32 input stays f32 (the mixed-precision factor path)
+        L32 = np.asarray(f(jnp.asarray(H, jnp.float32)))
+        assert L32.dtype == np.float32
+        err32 = np.abs(L32 - Lref).max() / np.abs(Lref).max()
+        assert err32 < 1e-4, (n, bs, err32)
+
+
+def test_row_sharded_distributed_factor_matches_scipy():
+    """Full distributed solve with the cooperative (non-replicated)
+    Cholesky and with the mixed f32 factor: same HiGHS optimum as the
+    replicated-f64 default."""
+    mesh = make_mesh(8, ("rows",))
+    rng = np.random.default_rng(17)
+    n, m, k = 40, 29, 27
+    A = rng.uniform(-2, 2, (m, n))
+    C = rng.uniform(-2, 2, (k, n))
+    x_feas = rng.uniform(-1, 1, n)
+    c = rng.uniform(-2, 2, n)
+    b = A @ x_feas
+    d = C @ x_feas + 0.5
+    ref = linprog(c, A_ub=C, b_ub=d, A_eq=A, b_eq=b,
+                  bounds=[(-3, 3)] * n, method="highs")
+    res_d = solve_lp_row_sharded(
+        mesh, c, A, b, C, d, lb=-3.0, ub=3.0, x0=x_feas, epsilon=1e-9,
+        distributed_factor=True, chol_block=16)
+    np.testing.assert_allclose(float(res_d["objective"]), ref.fun,
+                               rtol=2e-6)
+    res_m = solve_lp_row_sharded(
+        mesh, c, A, b, C, d, lb=-3.0, ub=3.0, x0=x_feas, epsilon=1e-9,
+        distributed_factor=True, factor_dtype="float32", chol_block=16)
+    np.testing.assert_allclose(float(res_m["objective"]), ref.fun,
+                               rtol=2e-6)
+    x = np.asarray(res_m["x"])
+    assert np.abs(A @ x - b).max() < 1e-6
+    assert (C @ x - d).max() < 1e-9
