@@ -440,7 +440,8 @@ def solve_lp_row_sharded(mesh: Mesh, c, A, b, C, d, lb=None, ub=None, *,
                          max_linesearch_steps=40, max_outer_iters=30,
                          max_inner_iters=60, axis: str = "rows",
                          distributed_factor=False,
-                         factor_dtype="float64", chol_block=256):
+                         factor_dtype="float64", chol_block=256,
+                         phase1="auto"):
     """Full distributed LP barrier solve with constraint rows sharded over
     the mesh: min c.x s.t. Ax = b, Cx <= d, lb <= x <= ub.
 
@@ -454,10 +455,13 @@ def solve_lp_row_sharded(mesh: Mesh, c, A, b, C, d, lb=None, ub=None, *,
     single-step demo ``row_sharded_lp_newton_step`` (round-1 VERDICT
     weak #7).
 
-    ``x0`` must be strictly feasible for the inequalities (run phase one
-    first, or pass interior bounds); the default is the bound midpoint or
-    zeros.  Returns a dict with x, v (true equality rows), objective and
-    iteration counters.
+    ``x0`` defaults to the bound midpoint or zeros; with ``phase1="auto"``
+    (the default) a start that is not strictly feasible for the
+    inequalities triggers the distributed phase one
+    (``_row_sharded_phase1`` — the same sharded barrier program on the
+    min-s extended LP), which raises ValueError when the problem is
+    infeasible.  Returns a dict with x, v (true equality rows),
+    objective and iteration counters.
 
     ``distributed_factor=True`` factors H and S cooperatively across the
     mesh (parallel/chol.py) instead of replicating the Cholesky;
@@ -470,7 +474,7 @@ def solve_lp_row_sharded(mesh: Mesh, c, A, b, C, d, lb=None, ub=None, *,
         beta=beta, max_linesearch_steps=max_linesearch_steps,
         max_outer_iters=max_outer_iters, max_inner_iters=max_inner_iters,
         axis=axis, distributed_factor=distributed_factor,
-        factor_dtype=factor_dtype, chol_block=chol_block)
+        factor_dtype=factor_dtype, chol_block=chol_block, phase1=phase1)
 
 
 def solve_qp_row_sharded(mesh: Mesh, P_obj, c, A, b, C, d, lb=None,
@@ -479,7 +483,8 @@ def solve_qp_row_sharded(mesh: Mesh, P_obj, c, A, b, C, d, lb=None,
                          beta=0.6, max_linesearch_steps=40,
                          max_outer_iters=30, max_inner_iters=60,
                          axis: str = "rows", distributed_factor=False,
-                         factor_dtype="float64", chol_block=256):
+                         factor_dtype="float64", chol_block=256,
+                         phase1="auto"):
     """Distributed QP barrier solve: min ½xᵀPx + cᵀx s.t. Ax = b,
     Cx ≤ d, lb ≤ x ≤ ub, with constraint rows sharded over the mesh.
 
@@ -495,14 +500,61 @@ def solve_qp_row_sharded(mesh: Mesh, P_obj, c, A, b, C, d, lb=None,
         beta=beta, max_linesearch_steps=max_linesearch_steps,
         max_outer_iters=max_outer_iters, max_inner_iters=max_inner_iters,
         axis=axis, distributed_factor=distributed_factor,
-        factor_dtype=factor_dtype, chol_block=chol_block)
+        factor_dtype=factor_dtype, chol_block=chol_block, phase1=phase1)
+
+
+def _row_sharded_phase1(mesh, A, b, C, d, lb_v, ub_v, x0, *, axis,
+                        distributed_factor, factor_dtype, chol_block):
+    """Distributed phase one: find a strictly feasible point for
+    Cx ≤ d (within the box) by solving the extended LP
+
+        min s   s.t.  Ax = b,  Cx − s·1 ≤ d,  lb ≤ x ≤ ub
+
+    with the SAME row-sharded barrier program (the s column rides along
+    replicated; the extended start (x₀ clamped into the box, s₀ =
+    max(Cx₀ − d) + 1) is strictly feasible by construction — the
+    distributed analogue of models/phase1.py; reference:
+    LPSolver.py phase-1 routing).  Returns a strictly feasible x, or
+    raises ValueError when the optimum s* ≥ 0 certifies infeasibility.
+    """
+    import numpy as np
+
+    n = x0.shape[0]
+    dtype = x0.dtype
+    # interior-of-box start for the x block
+    lo = jnp.maximum(lb_v, -1e12)
+    hi = jnp.minimum(ub_v, 1e12)
+    x0c = jnp.clip(x0, lo + 1e-6 * (hi - lo), hi - 1e-6 * (hi - lo))
+    s0 = jnp.max(C @ x0c - d) + 1.0
+
+    c_ext = jnp.zeros((n + 1,), dtype).at[n].set(1.0)
+    A_ext = jnp.concatenate([A, jnp.zeros((A.shape[0], 1), dtype)], axis=1)
+    C_ext = jnp.concatenate([C, -jnp.ones((C.shape[0], 1), dtype)], axis=1)
+    lb_ext = jnp.concatenate([lb_v, jnp.asarray([-jnp.inf], dtype)])
+    ub_ext = jnp.concatenate([ub_v, jnp.asarray([jnp.inf], dtype)])
+    z0 = jnp.concatenate([x0c, s0[None]])
+
+    res = _solve_row_sharded(
+        mesh, None, c_ext, A_ext, b, C_ext, d, lb_ext, ub_ext, x0=z0,
+        t0=1.0, mu=15.0, epsilon=1e-6, inner_epsilon=1e-8, alpha=0.2,
+        beta=0.6, max_linesearch_steps=40, max_outer_iters=30,
+        max_inner_iters=60, axis=axis,
+        distributed_factor=distributed_factor, factor_dtype=factor_dtype,
+        chol_block=chol_block, phase1=False)
+    z = np.asarray(res["x"])
+    if z[n] >= 0:
+        raise ValueError(
+            "Phase 1 did not find a strictly feasible point (optimal "
+            f"infeasibility s* = {z[n]:.3e} >= 0): problem infeasible")
+    return jnp.asarray(z[:n], dtype)
 
 
 def _solve_row_sharded(mesh, P_obj, c, A, b, C, d, lb, ub, *, x0, t0, mu,
                        epsilon, inner_epsilon, alpha, beta,
                        max_linesearch_steps, max_outer_iters,
                        max_inner_iters, axis, distributed_factor=False,
-                       factor_dtype="float64", chol_block=256):
+                       factor_dtype="float64", chol_block=256,
+                       phase1="auto"):
     from ..models.base import ensure_x64
     ensure_x64("float64")  # every other public entry point forces x64 too
     ndev = mesh.shape[axis]
@@ -534,6 +586,19 @@ def _solve_row_sharded(mesh, P_obj, c, A, b, C, d, lb, ub, *, x0, t0, mu,
         else:
             x0 = jnp.zeros((n,), dtype)
     x0 = jnp.asarray(x0, dtype)
+
+    # strict-feasibility gate: the barrier needs every slack positive at
+    # the start; restore it with the distributed phase one when needed
+    # (the single-chip drivers' phase-1 routing, LPSolver.py:514-560).
+    if phase1 == "auto":
+        slack_min = float(jnp.min(jnp.concatenate([
+            d - C @ x0 if k_true else jnp.asarray([jnp.inf], dtype),
+            ub_v - x0, x0 - lb_v])))
+        if not slack_min > 0:
+            x0 = _row_sharded_phase1(
+                mesh, A, b, C, d, lb_v, ub_v, x0, axis=axis,
+                distributed_factor=distributed_factor,
+                factor_dtype=factor_dtype, chol_block=chol_block)
     v0 = jnp.zeros((mp,), dtype)
 
     has_P = P_obj is not None

@@ -262,3 +262,40 @@ def test_row_sharded_distributed_factor_matches_scipy():
     x = np.asarray(res_m["x"])
     assert np.abs(A @ x - b).max() < 1e-6
     assert (C @ x - d).max() < 1e-9
+
+
+def test_row_sharded_phase1_from_infeasible_start():
+    """phase1='auto': an infeasible x0 (outside Cx<=d) routes through
+    the distributed phase one and still reaches the HiGHS optimum."""
+    mesh = make_mesh(8, ("rows",))
+    rng = np.random.default_rng(41)
+    n, m, k = 30, 11, 19
+    A = rng.uniform(-2, 2, (m, n))
+    C = rng.uniform(-2, 2, (k, n))
+    x_feas = rng.uniform(-1, 1, n)
+    c = rng.uniform(-2, 2, n)
+    b = A @ x_feas
+    d = C @ x_feas + 0.3
+    ref = linprog(c, A_ub=C, b_ub=d, A_eq=A, b_eq=b,
+                  bounds=[(-3, 3)] * n, method="highs")
+    # bound midpoint (the default x0) violates several C rows here
+    assert (C @ np.zeros(n) - d).max() > 0
+    res = solve_lp_row_sharded(mesh, c, A, b, C, d, lb=-3.0, ub=3.0,
+                               epsilon=1e-9)
+    np.testing.assert_allclose(float(res["objective"]), ref.fun,
+                               rtol=2e-6)
+
+
+def test_row_sharded_phase1_detects_infeasible():
+    """A contradictory inequality system raises from phase one."""
+    import pytest
+
+    mesh = make_mesh(8, ("rows",))
+    n = 6
+    A = np.zeros((1, n)); A[0, -1] = 1.0
+    b = np.zeros(1)
+    C = np.vstack([np.eye(n), -np.eye(n)])
+    d = np.concatenate([-np.ones(n), -np.ones(n)])   # x<=-1 and x>=1
+    c = np.ones(n)
+    with pytest.raises(ValueError, match="infeasible"):
+        solve_lp_row_sharded(mesh, c, A, b, C, d, epsilon=1e-9)
