@@ -152,6 +152,54 @@ def _pad_rows(arr, rows, fill=0.0):
     return out.at[: arr.shape[0]].set(arr)
 
 
+def make_factor_tools(axis: str, ndev: int, distributed_factor: bool,
+                      chol_block: int):
+    """Return a ``_make_solve(M, dtype, f32_factor=False)`` factory for
+    SPD solves inside a shard_map program on mesh axis ``axis``.
+
+    The returned factory factors M (replicated Cholesky, or the
+    cooperative block-cyclic factor of parallel/chol.py when
+    ``distributed_factor``) and yields ``solve(B)`` in the iterate
+    dtype.  With ``f32_factor`` the factor/trisolves run f32 on a
+    Jacobi-scaled matrix (unit diagonal ⇒ entries in [-1,1], no
+    overflow); callers' iterative refinement restores accuracy.
+    Shared by the row-sharded LP/QP barrier and the cone-sharded SOCP
+    program so the factor strategy stays in one place.
+    """
+    from .chol import dist_cholesky
+
+    def _chol(M):
+        if distributed_factor:
+            return dist_cholesky(M, axis, ndev, chol_block)
+        return jnp.linalg.cholesky(M)
+
+    def _make_solve(M, dtype, f32_factor=False):
+        if f32_factor and dtype != jnp.float32:
+            dsc = 1.0 / jnp.sqrt(jnp.maximum(
+                jnp.diag(M), jnp.asarray(1e-300, dtype)))
+            Ms = (dsc[:, None] * M * dsc[None, :]).astype(jnp.float32)
+            Lf = _chol(Ms)
+
+            def solve(B):
+                vec = B.ndim == 1
+                B2 = B[:, None] if vec else B
+                Bs = (dsc[:, None] * B2).astype(jnp.float32)
+                Y = jax.scipy.linalg.solve_triangular(Lf, Bs, lower=True)
+                Z = jax.scipy.linalg.solve_triangular(Lf.T, Y, lower=False)
+                out = dsc[:, None] * Z.astype(dtype)
+                return out[:, 0] if vec else out
+        else:
+            Lf = _chol(M)
+
+            def solve(B):
+                Y = jax.scipy.linalg.solve_triangular(Lf, B, lower=True)
+                return jax.scipy.linalg.solve_triangular(Lf.T, Y,
+                                                         lower=False)
+        return solve
+
+    return _make_solve
+
+
 def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
                          num_ineq: int, t0: float, mu: float, eps: float,
                          inner_eps: float, alpha: float, beta: float,
@@ -192,42 +240,9 @@ def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
     error.  Both options leave the iterate math (residuals, line
     search, convergence tests) in full precision.
     """
-    from .chol import dist_cholesky
-
     mixed = factor_dtype == "float32"
-
-    def _chol(M):
-        if distributed_factor:
-            return dist_cholesky(M, axis, ndev, chol_block)
-        return jnp.linalg.cholesky(M)
-
-    def _make_solve(M, dtype, f32_factor=False):
-        """Factor M and return solve(B) in the iterate dtype.  With
-        ``f32_factor`` the factor/trisolves run f32 on a Jacobi-scaled
-        matrix (unit diagonal ⇒ entries in [-1,1], no overflow),
-        callers' refinement restores accuracy."""
-        if f32_factor and dtype != jnp.float32:
-            dsc = 1.0 / jnp.sqrt(jnp.maximum(
-                jnp.diag(M), jnp.asarray(1e-300, dtype)))
-            Ms = (dsc[:, None] * M * dsc[None, :]).astype(jnp.float32)
-            Lf = _chol(Ms)
-
-            def solve(B):
-                vec = B.ndim == 1
-                B2 = B[:, None] if vec else B
-                Bs = (dsc[:, None] * B2).astype(jnp.float32)
-                Y = jax.scipy.linalg.solve_triangular(Lf, Bs, lower=True)
-                Z = jax.scipy.linalg.solve_triangular(Lf.T, Y, lower=False)
-                out = dsc[:, None] * Z.astype(dtype)
-                return out[:, 0] if vec else out
-        else:
-            Lf = _chol(M)
-
-            def solve(B):
-                Y = jax.scipy.linalg.solve_triangular(Lf, B, lower=True)
-                return jax.scipy.linalg.solve_triangular(Lf.T, Y,
-                                                         lower=False)
-        return solve
+    _make_solve = make_factor_tools(axis, ndev, distributed_factor,
+                                    chol_block)
 
     def prog(c, Pm, A, b, C, d, lb, ub, x0, v0):
         dtype = x0.dtype

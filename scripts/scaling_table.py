@@ -39,36 +39,45 @@ c = rng.uniform(-2, 2, n)
 b = A @ x_feas
 d = C @ x_feas + 0.5
 
-rows = []
-base_rate = None
-for ndev in (1, 2, 4, 8):
-    mesh = make_mesh(ndev, ("rows",))
-    kwargs = dict(lb=-3.0, ub=3.0, x0=x_feas, epsilon=1e-6,
-                  max_outer_iters=12, max_inner_iters=40)
-    res = solve_lp_row_sharded(mesh, c, A, b, C, d, **kwargs)  # compile+run
-    t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        res = solve_lp_row_sharded(mesh, c, A, b, C, d, **kwargs)
-    dt = (time.time() - t0) / reps
-    nt = res["newton_iters"]
-    rate = nt / dt
-    if base_rate is None:
-        base_rate = rate
-    eff = rate / (base_rate * ndev)
-    rows.append((ndev, nt, dt, rate, eff, float(res["objective"])))
-    print(f"ndev={ndev}  newton_iters={nt}  solve_s={dt:.3f}  "
-          f"iters/s={rate:.1f}  efficiency={eff:.2f}  "
-          f"obj={res['objective']:.9f}", flush=True)
+CONFIGS = (
+    ("f64-repl", dict()),
+    ("f32-repl", dict(factor_dtype="float32")),
+    ("f32-dist", dict(factor_dtype="float32", distributed_factor=True,
+                      chol_block=64)),
+)
 
-objs = {r[5] for r in rows}
-print("objective spread across meshes:",
+rows = []
+for name, fkw in CONFIGS:
+    base_rate = None
+    for ndev in (1, 2, 4, 8):
+        mesh = make_mesh(ndev, ("rows",))
+        kwargs = dict(lb=-3.0, ub=3.0, x0=x_feas, epsilon=1e-6,
+                      max_outer_iters=12, max_inner_iters=40, **fkw)
+        res = solve_lp_row_sharded(mesh, c, A, b, C, d, **kwargs)
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            res = solve_lp_row_sharded(mesh, c, A, b, C, d, **kwargs)
+        dt = (time.time() - t0) / reps
+        nt = res["newton_iters"]
+        rate = nt / dt
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * ndev)
+        rows.append((name, ndev, nt, dt, rate, eff,
+                     float(res["objective"])))
+        print(f"{name}  ndev={ndev}  newton_iters={nt}  solve_s={dt:.3f}"
+              f"  iters/s={rate:.1f}  efficiency={eff:.2f}  "
+              f"obj={res['objective']:.9f}", flush=True)
+
+objs = {r[6] for r in rows}
+print("objective spread across meshes and factor configs:",
       max(objs) - min(objs), flush=True)
 
 if out_csv:
     with open(out_csv, "w") as f:
-        f.write("ndev,newton_iters,solve_s,iters_per_s,efficiency,"
-                "objective\n")
+        f.write("config,ndev,newton_iters,solve_s,iters_per_s,"
+                "efficiency,objective\n")
         for r in rows:
             f.write(",".join(str(v) for v in r) + "\n")
     print("wrote", out_csv)
