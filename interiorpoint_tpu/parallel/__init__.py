@@ -9,10 +9,12 @@ from .batch import solve_batch, solve_lasso_sharded, stack_problems
 from .distributed import (
     initialize, row_sharded_lp_newton_step, shard_rows,
     solve_lp_row_sharded, solve_qp_row_sharded)
+from .socp_dist import shard_cones, solve_socp_cone_sharded
 
 __all__ = [
     "make_mesh", "batch_sharding", "replicated",
     "solve_batch", "solve_lasso_sharded", "stack_problems",
     "initialize", "row_sharded_lp_newton_step", "shard_rows",
     "solve_lp_row_sharded", "solve_qp_row_sharded",
+    "shard_cones", "solve_socp_cone_sharded",
 ]
