@@ -137,6 +137,12 @@ def roofline(suite, n, reps, dtype):
     (reference per-step equivalent: NewtonSolverInfeasibleStart.py:396-490):
     Gram CᵀWC = 2kr², Cholesky r³/3, [QP: +2r² P matvec], triangular
     solves and dd matvec passes are O(kr) and counted too.
+
+    The instance carries a +0.5 slack margin (deviating from the
+    boundary-start benchmark recipe) so the measured step is a
+    representative interior Newton step, not a degenerate boundary one
+    whose 1/s² weights overflow f32 and trip the jitter-ladder
+    refactor retries.
     """
     import jax
     import jax.numpy as jnp
@@ -152,15 +158,16 @@ def roofline(suite, n, reps, dtype):
         P = Pp.T @ Pp + np.eye(n)
         C = np.random.uniform(-2, 2, (20, n))
         solver = QPSolver(P=P, q=np.random.uniform(-2, 2, n), A=A,
-                          b=A @ x_feas, C=C, d=C @ x_feas, lower_bound=-3,
-                          upper_bound=3, suppress_print=True,
-                          check_cvxpy=False, dtype=dtype)
+                          b=A @ x_feas, C=C, d=C @ x_feas + 0.5,
+                          lower_bound=-3, upper_bound=3,
+                          suppress_print=True, check_cvxpy=False,
+                          dtype=dtype)
     else:
         C = np.random.uniform(-2, 2, (k_in, n))
         solver = LPSolver(c=np.random.uniform(-2, 2, n), A=A, b=A @ x_feas,
-                          C=C, d=C @ x_feas, lower_bound=-3, upper_bound=3,
-                          suppress_print=True, check_cvxpy=False,
-                          dtype=dtype)
+                          C=C, d=C @ x_feas + 0.5, lower_bound=-3,
+                          upper_bound=3, suppress_print=True,
+                          check_cvxpy=False, dtype=dtype)
 
     rf = solver._reduced
     Cz, dz = rf.prob.C, rf.prob.d

@@ -163,6 +163,8 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
         from . import pallas_newton
         C_lin, d_lin, lin_cost, P_lin = oracle.lin_form
         mode = pallas_newton.kernel_mode(*C_lin.shape, P_lin is not None)
+        if mode == "stream" and not cfg.allow_stream:
+            mode = None   # e.g. under vmap (see SolverConfig.allow_stream)
         if mode is not None:
             use_fused = True
             fused_stream = mode == "stream"

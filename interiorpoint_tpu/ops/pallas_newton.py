@@ -384,22 +384,35 @@ def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
             hxh, hxl = dd.dd_add(hxh, hxl, pxh, pxl)
         return dd.dd_add(-gh, -gl, -hxh, -hxl)
 
-    # refinement: solve H dx = -g with matrix-free dd residuals
+    xh, xl, rh, rl, rn2, bn2 = _refined_solve(
+        _precond_solve, _dd_resid, Hs, dsc_r, gh, gl, refine, rp)
+
+    return dict(xh=xh, xl=xl, gh=gh, gl=gl, rh=rh, rl=rl,
+                rn2=rn2, bn2=bn2)
+
+
+def _refined_solve(precond_solve, dd_resid, Hs, dsc_r, gh, gl, refine,
+                   rp):
+    """Solve H dx = -g: `refine` rounds of factor-preconditioned
+    iterative refinement with matrix-free dd residuals, then a stall
+    escalation — plain refinement diverges once kappa(Hs)*eps32 > 1
+    (deep barrier stages reach kappa ~ 1e9-1e10), while preconditioned
+    CG on the equilibrated operator converges at ~sqrt(kappa*eps32):
+    run 3 dd-wrapped rounds of 48-step f32 PCG corrections, cond-gated
+    so well-conditioned steps pay nothing.  Shared by the LP/QP
+    (_direction_core) and SOCP (pallas_socp._socp_core) step kernels.
+    Returns (xh, xl, rh, rl, rn2, bn2), residual norms in the
+    equilibrated metric."""
     xh = jnp.zeros((1, rp), jnp.float32)
     xl = jnp.zeros((1, rp), jnp.float32)
     rh, rl = -gh, -gl
     for _ in range(refine):
-        corr = dsc_r * _precond_solve(rh * dsc_r)
+        corr = dsc_r * precond_solve(rh * dsc_r)
         xh, xl = dd.dd_add(xh, xl, corr, jnp.zeros_like(corr))
-        rh, rl = _dd_resid(xh, xl)
+        rh, rl = dd_resid(xh, xl)
 
-    # Stall escalation: plain refinement diverges once kappa(Hs)*eps32 > 1
-    # (deep barrier stages reach kappa ~ 1e9-1e10).  Preconditioned CG on
-    # the equilibrated operator converges at ~sqrt(kappa*eps32) instead:
-    # run a few dd-wrapped rounds of f32 PCG corrections, cond-gated so
-    # well-conditioned steps pay nothing.
     def _pcg(rs, iters):
-        z0 = _precond_solve(rs)
+        z0 = precond_solve(rs)
 
         def body(_, c):
             x, rr, z, p, rz = c
@@ -408,7 +421,7 @@ def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
             a = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
             x = x + a * p
             rr = rr - a * Hp
-            z = _precond_solve(rr)
+            z = precond_solve(rr)
             rz2 = jnp.sum(rr * z)
             beta = rz2 / jnp.where(jnp.abs(rz) > 1e-30, rz, 1e-30)
             return x, rr, z, p * beta + z, rz2
@@ -423,7 +436,7 @@ def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
         for _ in range(3):
             corr = dsc_r * _pcg(rh * dsc_r, 48)
             xh, xl = dd.dd_add(xh, xl, corr, jnp.zeros_like(corr))
-            rh, rl = _dd_resid(xh, xl)
+            rh, rl = dd_resid(xh, xl)
         return xh, xl, rh, rl
 
     rn2 = jnp.sum((rh * dsc_r) ** 2)
@@ -432,9 +445,7 @@ def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
     xh, xl, rh, rl = lax.cond(
         stalled, _pcg_rounds, lambda c: c, (xh, xl, rh, rl))
     rn2 = jnp.sum((rh * dsc_r) ** 2)
-
-    return dict(xh=xh, xl=xl, gh=gh, gl=gl, rh=rh, rl=rl,
-                rn2=rn2, bn2=bn2)
+    return xh, xl, rh, rl, rn2, bn2
 
 
 def _make_foreach(Chi_ref, Clo_ref, scratch, nck: int, stream: bool):

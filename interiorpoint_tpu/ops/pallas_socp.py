@@ -61,7 +61,7 @@ from .pallas_chol import BLK
 from .pallas_newton import (
     CH, _chol_solve_ref, _dd_pmatvec_row, _dd_recip, _dot, _dot_tn,
     _equilibrate, _factor_jittered, _make_foreach_resident, _pad, _pad2,
-    _padk, _phi_stable, _row_to_col,
+    _padk, _phi_stable, _refined_solve, _row_to_col,
 )
 
 # Cone-count padding: per-cone quantities live in (Kp, .) tensors.
@@ -205,50 +205,9 @@ def _socp_core(foreach_a, E_ref, bhi_ref, blo_ref, chi_ref, clo_ref,
             hxh, hxl = dd.dd_add(hxh, hxl, pxh, pxl)
         return dd.dd_add(-gh, -gl, -hxh, -hxl)
 
-    # refinement: solve H dx = -g with matrix-free dd residuals
-    xh = jnp.zeros((1, rp), jnp.float32)
-    xl = jnp.zeros((1, rp), jnp.float32)
-    rh, rl = -gh, -gl
-    for _ in range(refine):
-        corr = dsc_r * _precond_solve(rh * dsc_r)
-        xh, xl = dd.dd_add(xh, xl, corr, jnp.zeros_like(corr))
-        rh, rl = _dd_resid(xh, xl)
-
-    # PCG stall escalation (same rationale as pallas_newton._pcg)
-    def _pcg(rs, iters):
-        z0 = _precond_solve(rs)
-
-        def body(_, c):
-            x, rr, z, p, rz = c
-            Hp = _dot(p, Hs)
-            denom = jnp.sum(p * Hp)
-            a = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
-            x = x + a * p
-            rr = rr - a * Hp
-            z = _precond_solve(rr)
-            rz2 = jnp.sum(rr * z)
-            beta = rz2 / jnp.where(jnp.abs(rz) > 1e-30, rz, 1e-30)
-            return x, rr, z, p * beta + z, rz2
-
-        x0 = jnp.zeros_like(rs)
-        out = lax.fori_loop(0, iters, body,
-                            (x0, rs, z0, z0, jnp.sum(rs * z0)))
-        return out[0]
-
-    def _pcg_rounds(carry):
-        xh, xl, rh, rl = carry
-        for _ in range(3):
-            corr = dsc_r * _pcg(rh * dsc_r, 48)
-            xh, xl = dd.dd_add(xh, xl, corr, jnp.zeros_like(corr))
-            rh, rl = _dd_resid(xh, xl)
-        return xh, xl, rh, rl
-
-    rn2 = jnp.sum((rh * dsc_r) ** 2)
-    bn2 = jnp.sum((gh * dsc_r) ** 2)
-    stalled = rn2 > 1e-12 * bn2
-    xh, xl, rh, rl = lax.cond(
-        stalled, _pcg_rounds, lambda c: c, (xh, xl, rh, rl))
-    rn2 = jnp.sum((rh * dsc_r) ** 2)
+    # refinement + PCG stall escalation, shared with the LP/QP kernel
+    xh, xl, rh, rl, rn2, bn2 = _refined_solve(
+        _precond_solve, _dd_resid, Hs, dsc_r, gh, gl, refine, rp)
 
     return dict(xh=xh, xl=xl, gh=gh, gl=gl, rn2=rn2, bn2=bn2,
                 seh=seh, sel=sel, rhsh=rhsh, rhsl=rhsl,

@@ -70,6 +70,13 @@ def solve_batch(prob_batch, x0_batch, cfg, mesh=None, axis="batch"):
     Returns an IPMResult pytree with a leading batch dimension.
     """
     kind = "qp" if isinstance(prob_batch, QPProblem) else "lp"
+    if cfg.allow_stream:
+        # resident-mode vmap-of-pallas is hardware-validated
+        # (scripts/tpu_vmap_pallas_check.py); the streaming kernel's
+        # manual-DMA batching rule is not — keep it out of batched solves
+        # (SolverConfig.allow_stream).
+        import dataclasses
+        cfg = dataclasses.replace(cfg, allow_stream=False)
     dtype = x0_batch.dtype
     if mesh is not None:
         shard = lambda x: jax.device_put(

@@ -347,7 +347,6 @@ def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
             else:
                 dx, w = _direction(False)
 
-            w_local = lax.dynamic_slice_in_dim(w, idx, m_local)
             dv = w - v
 
             # --- residual-backtracking candidate sweep (the distributed
@@ -540,12 +539,16 @@ def _row_sharded_phase1(mesh, A, b, C, d, lb_v, ub_v, x0, *, axis,
     lo = jnp.maximum(lb_v, -1e12)
     hi = jnp.minimum(ub_v, 1e12)
     x0c = jnp.clip(x0, lo + 1e-6 * (hi - lo), hi - 1e-6 * (hi - lo))
-    s0 = jnp.max(C @ x0c - d) + 1.0
+    s0 = jnp.maximum(jnp.max(C @ x0c - d) + 1.0, 0.0)
 
+    # s is bounded below at -1: min s is otherwise unbounded whenever the
+    # feasible region is (s* < 0 is all the certificate needs, and the
+    # single-chip engine's early exit on s < -tol, ops/newton.py, has no
+    # distributed analogue — the bound plays that terminating role).
     c_ext = jnp.zeros((n + 1,), dtype).at[n].set(1.0)
     A_ext = jnp.concatenate([A, jnp.zeros((A.shape[0], 1), dtype)], axis=1)
     C_ext = jnp.concatenate([C, -jnp.ones((C.shape[0], 1), dtype)], axis=1)
-    lb_ext = jnp.concatenate([lb_v, jnp.asarray([-jnp.inf], dtype)])
+    lb_ext = jnp.concatenate([lb_v, jnp.asarray([-1.0], dtype)])
     ub_ext = jnp.concatenate([ub_v, jnp.asarray([jnp.inf], dtype)])
     z0 = jnp.concatenate([x0c, s0[None]])
 
@@ -557,11 +560,24 @@ def _row_sharded_phase1(mesh, A, b, C, d, lb_v, ub_v, x0, *, axis,
         distributed_factor=distributed_factor, factor_dtype=factor_dtype,
         chol_block=chol_block, phase1=False)
     z = np.asarray(res["x"])
-    if z[n] >= 0:
+    if not np.isfinite(z).all() or z[n] >= 0:
         raise ValueError(
             "Phase 1 did not find a strictly feasible point (optimal "
             f"infeasibility s* = {z[n]:.3e} >= 0): problem infeasible")
-    return jnp.asarray(z[:n], dtype)
+    x1 = z[:n]
+    # re-validate before handing the point to the main solve: s* < 0
+    # should imply strict slack positivity, but a stalled deep-barrier
+    # stage can still return a boundary-grazing iterate.
+    slack_min = min(
+        float(np.min(d - C @ x1)) if C.shape[0] else np.inf,
+        float(np.min(np.asarray(ub_v) - x1)),
+        float(np.min(x1 - np.asarray(lb_v))))
+    if not slack_min > 0:
+        raise ValueError(
+            "Phase 1 terminated with s* < 0 but a non-positive slack "
+            f"(min slack {slack_min:.3e}); the problem is feasible but "
+            "barely — tighten phase-1 epsilon or supply a feasible x0")
+    return jnp.asarray(x1, dtype)
 
 
 def _solve_row_sharded(mesh, P_obj, c, A, b, C, d, lb, ub, *, x0, t0, mu,
@@ -584,8 +600,12 @@ def _solve_row_sharded(mesh, P_obj, c, A, b, C, d, lb, ub, *, x0, t0, mu,
     num_ineq = k_true + (n if lb is not None else 0) \
         + (n if ub is not None else 0)
 
-    mp = -(-m_true // ndev) * ndev
-    kp = -(-k_true // ndev) * ndev
+    # at least one (inert) row per shard: m_true == 0 (no equalities) or
+    # k_true == 0 (no inequalities) must not produce zero-size shards —
+    # the padding is a no-op by construction, so a whole padded block
+    # simply runs the same program with every row inert.
+    mp = max(-(-m_true // ndev) * ndev, ndev)
+    kp = max(-(-k_true // ndev) * ndev, ndev)
     A_p = _pad_rows(A, mp)
     b_p = _pad_rows(b, mp)
     C_p = _pad_rows(C, kp)
@@ -605,7 +625,8 @@ def _solve_row_sharded(mesh, P_obj, c, A, b, C, d, lb, ub, *, x0, t0, mu,
     # strict-feasibility gate: the barrier needs every slack positive at
     # the start; restore it with the distributed phase one when needed
     # (the single-chip drivers' phase-1 routing, LPSolver.py:514-560).
-    if phase1 == "auto":
+    # phase1=True is treated as "auto"; only phase1=False skips the gate.
+    if phase1 == "auto" or phase1 is True:
         slack_min = float(jnp.min(jnp.concatenate([
             d - C @ x0 if k_true else jnp.asarray([jnp.inf], dtype),
             ub_v - x0, x0 - lb_v])))

@@ -324,7 +324,7 @@ def solve_socp_cone_sharded(mesh: Mesh, A, b, c, d, P_obj=None, q=None,
             x0 = 0.5 * (lb_v + ub_v)
     x0 = jnp.asarray(x0, dtype)
 
-    if phase1 == "auto":
+    if phase1 == "auto" or phase1 is True:
         lhs = jnp.einsum("kmn,n->km", A, x0) + b
         rhs = c @ x0 + d
         slack_min = float(jnp.min(jnp.concatenate([
@@ -377,14 +377,20 @@ def _cone_sharded_phase1(mesh, A, b, c, d, F, g, lb_v, ub_v, x0, *, axis,
     hi = jnp.minimum(ub_v, 1e12)
     x0c = jnp.clip(x0, lo + 1e-6 * (hi - lo), hi - 1e-6 * (hi - lo))
     lhs = jnp.einsum("kmn,n->km", A, x0c) + b
-    s0 = jnp.max(jnp.sqrt(jnp.sum(lhs**2, axis=-1)) - c @ x0c - d) + 1.0
+    s0 = jnp.maximum(
+        jnp.max(jnp.sqrt(jnp.sum(lhs**2, axis=-1)) - c @ x0c - d) + 1.0,
+        0.0)
 
     A_ext = jnp.concatenate([A, jnp.zeros((K, M, 1), dtype)], axis=2)
     c_ext = jnp.concatenate([c, jnp.ones((K, 1), dtype)], axis=1)
     q_ext = jnp.zeros((n + 1,), dtype).at[n].set(1.0)
     F_ext = (jnp.concatenate([F, jnp.zeros((F.shape[0], 1), dtype)],
                              axis=1) if F is not None else None)
-    lb_ext = jnp.concatenate([lb_v, jnp.asarray([-jnp.inf], dtype)])
+    # s bounded below at -1: min s over rhs-shifted cones is unbounded
+    # whenever the cone margins are (s* < 0 is all the certificate
+    # needs); the bound terminates those instances — same policy as
+    # _row_sharded_phase1.
+    lb_ext = jnp.concatenate([lb_v, jnp.asarray([-1.0], dtype)])
     ub_ext = jnp.concatenate([ub_v, jnp.asarray([jnp.inf], dtype)])
     z0 = jnp.concatenate([x0c, s0[None]])
 
@@ -394,8 +400,21 @@ def _cone_sharded_phase1(mesh, A, b, c, d, F, g, lb_v, ub_v, x0, *, axis,
         distributed_factor=distributed_factor,
         factor_dtype=factor_dtype, chol_block=chol_block, phase1=False)
     z = np.asarray(res["x"])
-    if z[n] >= 0:
+    if not np.isfinite(z).all() or z[n] >= 0:
         raise ValueError(
             "Phase 1 did not find a strictly cone-feasible point "
             f"(optimal shift s* = {z[n]:.3e} >= 0): problem infeasible")
-    return jnp.asarray(z[:n], dtype)
+    x1 = z[:n]
+    lhs1 = np.einsum("kmn,n->km", np.asarray(A), x1) + np.asarray(b)
+    rhs1 = np.asarray(c) @ x1 + np.asarray(d)
+    slack_min = min(
+        float(np.min(rhs1**2 - np.sum(lhs1**2, axis=-1))),
+        float(np.min(rhs1)),
+        float(np.min(np.asarray(ub_v) - x1)),
+        float(np.min(x1 - np.asarray(lb_v))))
+    if not slack_min > 0:
+        raise ValueError(
+            "Phase 1 terminated with s* < 0 but a non-positive slack "
+            f"(min slack {slack_min:.3e}); the problem is feasible but "
+            "barely — tighten phase-1 epsilon or supply a feasible x0")
+    return jnp.asarray(x1, dtype)

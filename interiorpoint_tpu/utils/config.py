@@ -121,6 +121,12 @@ class SolverConfig:
     # critical path (ops/pallas_newton.py).  Ignored off-TPU and for
     # problems whose working set exceeds VMEM.
     use_pallas: bool = True
+    # HBM-streaming variant of the fused kernel for shapes beyond the
+    # VMEM-resident envelope.  Batched (vmapped) solves set this False:
+    # vmap-of-pallas is hardware-validated for the resident kernel only
+    # (scripts/tpu_vmap_pallas_check.py); streaming uses manual DMA
+    # scratch whose batching rule is unexercised.
+    allow_stream: bool = True
     # dd refinement rounds inside the fused kernel (each costs ~10 us).
     pallas_refine: int = 3
     # Host-stepped dispatch: one device call per barrier stage instead of a

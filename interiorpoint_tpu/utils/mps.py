@@ -77,12 +77,14 @@ def parse_mps(path):
                     col_order.append(cname)
                 for i in range(1, len(parts) - 1, 2):
                     cols[cname][parts[i]] = float(parts[i + 1])
-            elif section == "RHS":
-                for i in range(1, len(parts) - 1, 2):
-                    rhs[parts[i]] = float(parts[i + 1])
-            elif section == "RANGES":
-                for i in range(1, len(parts) - 1, 2):
-                    ranges[parts[i]] = float(parts[i + 1])
+            elif section in ("RHS", "RANGES"):
+                # the leading set name is optional (free-format MPS):
+                # "SET ROW VAL [ROW VAL]" has an odd token count, the
+                # nameless "ROW VAL [ROW VAL]" an even one
+                start = 1 if len(parts) % 2 == 1 else 0
+                target = rhs if section == "RHS" else ranges
+                for i in range(start, len(parts) - 1, 2):
+                    target[parts[i]] = float(parts[i + 1])
             elif section == "BOUNDS":
                 key = parts[0].upper()
                 if key in ("UP", "LO", "FX", "UI", "LI"):

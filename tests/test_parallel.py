@@ -299,3 +299,44 @@ def test_row_sharded_phase1_detects_infeasible():
     c = np.ones(n)
     with pytest.raises(ValueError, match="infeasible"):
         solve_lp_row_sharded(mesh, c, A, b, C, d, epsilon=1e-9)
+
+
+def test_row_sharded_no_equalities_and_phase1_true():
+    """Equality-free LP (m=0: whole padded block inert) through the
+    distributed solve, with phase1=True (the boolean must behave like
+    "auto", not silently disable the feasibility gate) and an
+    infeasible x0 routing through the distributed phase one."""
+    rng = np.random.default_rng(11)
+    n, k = 24, 40
+    C = rng.uniform(-2, 2, (k, n))
+    xf = rng.uniform(-1, 1, n)
+    c = rng.uniform(-2, 2, n)
+    d = C @ xf + 0.5
+    mesh = make_mesh(8, ("rows",))
+    A0 = np.zeros((0, n))
+    b0 = np.zeros((0,))
+    x_bad = xf + 10.0   # violates Cx <= d (outside the box too)
+    res = solve_lp_row_sharded(mesh, c, A0, b0, C, d, lb=-3.0, ub=3.0,
+                               x0=x_bad, epsilon=1e-6, phase1=True)
+    ref = linprog(c, A_ub=C, b_ub=d, bounds=[(-3, 3)] * n,
+                  method="highs")
+    assert ref.status == 0
+    assert abs(float(res["objective"]) - ref.fun) < 1e-4
+    assert res["v"].shape == (0,)
+
+
+def test_row_sharded_phase1_unbounded_region_terminates():
+    """min s is unbounded below on an unbounded feasible region; the
+    s >= -1 bound must terminate phase one with a certificate and the
+    main solve must still run (bounded here by the box)."""
+    n = 12
+    C = -np.eye(n)
+    d = -np.ones(n)            # x >= 1 (origin infeasible)
+    c = np.ones(n)
+    A0 = np.zeros((0, n))
+    mesh = make_mesh(8, ("rows",))
+    res = solve_lp_row_sharded(mesh, c, A0, np.zeros(0), C, d,
+                               lb=-10.0, ub=10.0,
+                               x0=np.zeros(n), epsilon=1e-6)
+    # optimum: x = 1 (componentwise), objective n
+    assert abs(float(res["objective"]) - n) < 1e-3

@@ -382,3 +382,29 @@ def test_lp_qp_hess_op_matches_dense():
                                rtol=1e-11, atol=1e-9)
     assert (np.linalg.norm(np.asarray(Hp, dtype=np.float64) - H)
             <= 1e-6 * np.linalg.norm(H))
+
+
+def test_mps_rhs_ranges_optional_set_name(tmp_path):
+    """Free-format MPS may omit the RHS/RANGES set name (the field is
+    positional and optional); entries on such lines must not be dropped."""
+    from interiorpoint_tpu.utils import mps
+
+    named = str(tmp_path / "named.mps")
+    with open(named, "w") as f:
+        f.write(_MPS_SAMPLE)
+    nameless = _MPS_SAMPLE.replace(
+        "    RHS       CAP       10.0  MINP      1.0\n"
+        "    RHS       BAL       4.0   RNG       2.0\n",
+        "    CAP       10.0  MINP      1.0\n"
+        "    BAL       4.0   RNG       2.0\n").replace(
+        "    RNG1      RNG       3.0\n",
+        "    RNG       3.0\n")
+    assert nameless != _MPS_SAMPLE
+    path2 = str(tmp_path / "nameless.mps")
+    with open(path2, "w") as f:
+        f.write(nameless)
+
+    a = mps.lp_relaxation(mps.parse_mps(named), big=1e4)
+    b = mps.lp_relaxation(mps.parse_mps(path2), big=1e4)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y)
