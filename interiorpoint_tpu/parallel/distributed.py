@@ -19,6 +19,7 @@ single-device (SURVEY.md §2.2).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -201,7 +202,7 @@ def make_factor_tools(axis: str, ndev: int, distributed_factor: bool,
 
 
 def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
-                         num_ineq: int, t0: float, mu: float, eps: float,
+                         num_ineq: int, mu: float, eps: float,
                          inner_eps: float, alpha: float, beta: float,
                          J: int, max_outer: int, max_inner: int,
                          has_P: bool = False, distributed_factor=False,
@@ -244,7 +245,7 @@ def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
     _make_solve = make_factor_tools(axis, ndev, distributed_factor,
                                     chol_block)
 
-    def prog(c, Pm, A, b, C, d, lb, ub, x0, v0):
+    def prog(c, Pm, A, b, C, d, lb, ub, x0, v0, t0v):
         dtype = x0.dtype
         sig = jnp.asarray(beta, dtype) ** jnp.arange(J, dtype=dtype)
 
@@ -427,14 +428,13 @@ def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
         def outer_cond(s):
             return (~s[5]) & (s[3] < max_outer)
 
-        t_init = jnp.asarray(t0, dtype)
         out = lax.while_loop(
             outer_cond, outer_body,
-            (x0, v0, t_init, jnp.zeros((), jnp.int32),
+            (x0, v0, t0v, jnp.zeros((), jnp.int32),
              jnp.zeros((), jnp.int32), jnp.zeros((), bool)))
-        x, v, t_fin, outer_it, total_nt, _ = out
+        x, v, t_fin, outer_it, total_nt, done = out
         obj = c @ x + (0.5 * x @ (Pm @ x) if has_P else 0.0)
-        return x, v, obj, outer_it, total_nt
+        return x, v, obj, outer_it, total_nt, t_fin, done
 
     spec_rows = P(axis, None)
     spec_vec_rows = P(axis)
@@ -442,8 +442,8 @@ def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
     return jax.jit(shard_map(
         prog, mesh=mesh,
         in_specs=(rep, rep, spec_rows, spec_vec_rows, spec_rows,
-                  spec_vec_rows, rep, rep, rep, rep),
-        out_specs=(rep, rep, rep, rep, rep),
+                  spec_vec_rows, rep, rep, rep, rep, rep),
+        out_specs=(rep, rep, rep, rep, rep, rep, rep),
         check_vma=False,
     ))
 
@@ -455,7 +455,8 @@ def solve_lp_row_sharded(mesh: Mesh, c, A, b, C, d, lb=None, ub=None, *,
                          max_inner_iters=60, axis: str = "rows",
                          distributed_factor=False,
                          factor_dtype="float64", chol_block=256,
-                         phase1="auto"):
+                         phase1="auto", checkpoint_path=None,
+                         checkpoint_every=1, resume=False):
     """Full distributed LP barrier solve with constraint rows sharded over
     the mesh: min c.x s.t. Ax = b, Cx <= d, lb <= x <= ub.
 
@@ -481,6 +482,13 @@ def solve_lp_row_sharded(mesh: Mesh, c, A, b, C, d, lb=None, ub=None, *,
     mesh (parallel/chol.py) instead of replicating the Cholesky;
     ``factor_dtype="float32"`` uses the mixed-precision factor path
     (see ``_row_sharded_barrier``).
+
+    ``checkpoint_path`` enables mid-solve checkpointing: the outer loop
+    runs in host-stepped chunks of ``checkpoint_every`` barrier stages
+    and the full resumable state is persisted (atomic .npz) between
+    chunks; ``resume=True`` continues a killed job from its last
+    completed chunk (phase one is not re-run).  Without it the whole
+    solve is ONE device program (zero host round-trips).
     """
     return _solve_row_sharded(
         mesh, None, c, A, b, C, d, lb, ub, x0=x0, t0=t0, mu=mu,
@@ -488,7 +496,9 @@ def solve_lp_row_sharded(mesh: Mesh, c, A, b, C, d, lb=None, ub=None, *,
         beta=beta, max_linesearch_steps=max_linesearch_steps,
         max_outer_iters=max_outer_iters, max_inner_iters=max_inner_iters,
         axis=axis, distributed_factor=distributed_factor,
-        factor_dtype=factor_dtype, chol_block=chol_block, phase1=phase1)
+        factor_dtype=factor_dtype, chol_block=chol_block, phase1=phase1,
+        checkpoint_path=checkpoint_path,
+        checkpoint_every=checkpoint_every, resume=resume)
 
 
 def solve_qp_row_sharded(mesh: Mesh, P_obj, c, A, b, C, d, lb=None,
@@ -498,15 +508,17 @@ def solve_qp_row_sharded(mesh: Mesh, P_obj, c, A, b, C, d, lb=None,
                          max_outer_iters=30, max_inner_iters=60,
                          axis: str = "rows", distributed_factor=False,
                          factor_dtype="float64", chol_block=256,
-                         phase1="auto"):
+                         phase1="auto", checkpoint_path=None,
+                         checkpoint_every=1, resume=False):
     """Distributed QP barrier solve: min ½xᵀPx + cᵀx s.t. Ax = b,
     Cx ≤ d, lb ≤ x ≤ ub, with constraint rows sharded over the mesh.
 
-    Same single-program structure as ``solve_lp_row_sharded``; P (PSD)
-    stays replicated — it feeds the replicated H factorization, and each
-    chip's candidate sweep reuses one P·dx matvec across all J
-    backtracking candidates.  (Reference QP semantics: QPSolver.py; the
-    distribution scheme is new TPU-native capability.)
+    Same single-program structure as ``solve_lp_row_sharded``
+    (including mid-solve checkpoint/resume); P (PSD) stays replicated —
+    it feeds the replicated H factorization, and each chip's candidate
+    sweep reuses one P·dx matvec across all J backtracking candidates.
+    (Reference QP semantics: QPSolver.py; the distribution scheme is
+    new TPU-native capability.)
     """
     return _solve_row_sharded(
         mesh, P_obj, c, A, b, C, d, lb, ub, x0=x0, t0=t0, mu=mu,
@@ -514,7 +526,9 @@ def solve_qp_row_sharded(mesh: Mesh, P_obj, c, A, b, C, d, lb=None,
         beta=beta, max_linesearch_steps=max_linesearch_steps,
         max_outer_iters=max_outer_iters, max_inner_iters=max_inner_iters,
         axis=axis, distributed_factor=distributed_factor,
-        factor_dtype=factor_dtype, chol_block=chol_block, phase1=phase1)
+        factor_dtype=factor_dtype, chol_block=chol_block, phase1=phase1,
+        checkpoint_path=checkpoint_path,
+        checkpoint_every=checkpoint_every, resume=resume)
 
 
 def _row_sharded_phase1(mesh, A, b, C, d, lb_v, ub_v, x0, *, axis,
@@ -585,7 +599,8 @@ def _solve_row_sharded(mesh, P_obj, c, A, b, C, d, lb, ub, *, x0, t0, mu,
                        max_linesearch_steps, max_outer_iters,
                        max_inner_iters, axis, distributed_factor=False,
                        factor_dtype="float64", chol_block=256,
-                       phase1="auto"):
+                       phase1="auto", checkpoint_path=None,
+                       checkpoint_every=1, resume=False):
     from ..models.base import ensure_x64
     ensure_x64("float64")  # every other public entry point forces x64 too
     ndev = mesh.shape[axis]
@@ -622,6 +637,17 @@ def _solve_row_sharded(mesh, P_obj, c, A, b, C, d, lb, ub, *, x0, t0, mu,
             x0 = jnp.zeros((n,), dtype)
     x0 = jnp.asarray(x0, dtype)
 
+    # resume from a mid-solve checkpoint: the stored iterate replaces x0
+    # BEFORE the feasibility gate (it is strictly feasible, so phase one
+    # is skipped rather than re-run on the original infeasible start)
+    ck_state = None
+    if checkpoint_path is not None and resume \
+            and os.path.exists(checkpoint_path):
+        import numpy as _np
+        with _np.load(checkpoint_path) as z:
+            ck_state = {k: z[k] for k in z.files}
+        x0 = jnp.asarray(ck_state["x"], dtype)
+
     # strict-feasibility gate: the barrier needs every slack positive at
     # the start; restore it with the distributed phase one when needed
     # (the single-chip drivers' phase-1 routing, LPSolver.py:514-560).
@@ -643,18 +669,70 @@ def _solve_row_sharded(mesh, P_obj, c, A, b, C, d, lb, ub, *, x0, t0, mu,
     Pm = (jnp.asarray(P_obj, dtype) if has_P
           else jnp.zeros((1, 1), dtype))
 
+    chunk = (int(max_outer_iters) if checkpoint_path is None
+             else int(checkpoint_every))
     prog = _row_sharded_barrier(
         mesh, axis, m_true=m_true, k_true=k_true, num_ineq=num_ineq,
-        t0=float(t0), mu=float(mu), eps=float(epsilon),
+        mu=float(mu), eps=float(epsilon),
         inner_eps=float(inner_epsilon), alpha=float(alpha),
         beta=float(beta), J=int(max_linesearch_steps),
-        max_outer=int(max_outer_iters), max_inner=int(max_inner_iters),
+        max_outer=chunk, max_inner=int(max_inner_iters),
         has_P=has_P, distributed_factor=bool(distributed_factor),
         factor_dtype=factor_dtype, chol_block=int(chol_block), ndev=ndev)
 
-    x, v, obj, outer_it, total_nt = prog(
-        c, Pm, shard_rows(mesh, A_p, axis), shard_rows(mesh, b_p, axis),
-        shard_rows(mesh, C_p, axis), shard_rows(mesh, d_p, axis),
-        lb_v, ub_v, x0, v0)
+    operands = (c, Pm, shard_rows(mesh, A_p, axis),
+                shard_rows(mesh, b_p, axis), shard_rows(mesh, C_p, axis),
+                shard_rows(mesh, d_p, axis), lb_v, ub_v)
+    prog_call = lambda x, v, tv: prog(*operands, x, v, tv)
+
+    if checkpoint_path is None:
+        x, v, obj, outer_it, total_nt, _, _ = prog_call(
+            x0, v0, jnp.asarray(float(t0), dtype))
+        return dict(x=x, v=v[:m_true], objective=obj,
+                    outer_iters=int(outer_it), newton_iters=int(total_nt))
+
+    x, v, obj, outer_it, total_nt = _checkpointed_outer_loop(
+        prog_call, x0, v0, float(t0), dtype, int(max_outer_iters),
+        checkpoint_path, ck_state)
     return dict(x=x, v=v[:m_true], objective=obj,
-                outer_iters=int(outer_it), newton_iters=int(total_nt))
+                outer_iters=outer_it, newton_iters=total_nt)
+
+
+def _checkpointed_outer_loop(prog_call, x0, v0, t0, dtype, max_outer,
+                             path, ck_state):
+    """Host-chunked outer loop with atomic .npz checkpoints between
+    chunks (the distributed analogue of the staged-dispatch mid-solve
+    resume, utils/checkpoint.py): each `prog_call` runs up to
+    `checkpoint_every` barrier stages on device, the full resumable
+    state (x, v, t, counters, objective, converged) is persisted on the
+    host between calls, and a killed job continues from its last
+    completed chunk via ``resume=True``."""
+    import numpy as np
+
+    from ..utils.checkpoint import _atomic_savez
+
+    outer_it, total_nt = 0, 0
+    t_cur = t0
+    obj, done = None, False
+    if ck_state is not None:
+        x0 = jnp.asarray(ck_state["x"])
+        v0 = jnp.asarray(ck_state["v"])
+        t_cur = float(ck_state["t"])
+        outer_it = int(ck_state["outer_iters"])
+        total_nt = int(ck_state["newton_iters"])
+        obj = float(ck_state["objective"])
+        done = bool(ck_state["done"])
+    x, v = x0, v0
+    while not done and outer_it < max_outer:
+        x, v, obj, oit, nt, t_fin, dflag = prog_call(
+            x, v, jnp.asarray(t_cur, dtype))
+        outer_it += int(oit)
+        total_nt += int(nt)
+        t_cur = float(t_fin)
+        done = bool(dflag)
+        _atomic_savez(path, dict(
+            x=np.asarray(x), v=np.asarray(v), t=np.asarray(t_cur),
+            outer_iters=np.asarray(outer_it),
+            newton_iters=np.asarray(total_nt),
+            objective=np.asarray(float(obj)), done=np.asarray(done)))
+    return x, v, obj, outer_it, total_nt

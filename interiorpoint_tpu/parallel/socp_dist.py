@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.barrier import SLACK_EPS, SOCP_SLACK_EPS
-from .distributed import make_factor_tools
+from .distributed import _checkpointed_outer_loop, make_factor_tools
 
 
 def shard_cones(mesh: Mesh, arr, axis: str = "cones"):
@@ -51,7 +51,7 @@ def _pad_cones(A, b, c, d, Kp):
 
 
 def _cone_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int,
-                          num_ineq: int, t0: float, mu: float, eps: float,
+                          num_ineq: int, mu: float, eps: float,
                           inner_eps: float, alpha: float, beta: float,
                           J: int, max_outer: int, max_inner: int,
                           has_P: bool, has_q: bool,
@@ -79,7 +79,7 @@ def _cone_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int,
     _make_solve = make_factor_tools(axis, ndev, distributed_factor,
                                     chol_block)
 
-    def prog(q, Pm, A, b, cv, d, F, g_eq, lb, ub, x0, v0):
+    def prog(q, Pm, A, b, cv, d, F, g_eq, lb, ub, x0, v0, t0v):
         dtype = x0.dtype
         n = x0.shape[0]
         mg = F.shape[0]
@@ -232,26 +232,25 @@ def _cone_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int,
         def outer_cond(s):
             return (~s[5]) & (s[3] < max_outer)
 
-        t_init = jnp.asarray(t0, dtype)
         out = lax.while_loop(
             outer_cond, outer_body,
-            (x0, v0, t_init, jnp.zeros((), jnp.int32),
+            (x0, v0, t0v, jnp.zeros((), jnp.int32),
              jnp.zeros((), jnp.int32), jnp.zeros((), bool)))
-        x, v, t_fin, outer_it, total_nt, _ = out
+        x, v, t_fin, outer_it, total_nt, done = out
         obj = jnp.zeros((), dtype)
         if has_P:
             obj = obj + 0.5 * x @ (Pm @ x)
         if has_q:
             obj = obj + q @ x
-        return x, v, obj, outer_it, total_nt
+        return x, v, obj, outer_it, total_nt, t_fin, done
 
     spec_cones = lambda nd: P(axis, *([None] * (nd - 1)))
     rep = P()
     return jax.jit(shard_map(
         prog, mesh=mesh,
         in_specs=(rep, rep, spec_cones(3), spec_cones(2), spec_cones(2),
-                  spec_cones(1), rep, rep, rep, rep, rep, rep),
-        out_specs=(rep, rep, rep, rep, rep),
+                  spec_cones(1), rep, rep, rep, rep, rep, rep, rep),
+        out_specs=(rep, rep, rep, rep, rep, rep, rep),
         check_vma=False,
     ))
 
@@ -264,7 +263,8 @@ def solve_socp_cone_sharded(mesh: Mesh, A, b, c, d, P_obj=None, q=None,
                             max_inner_iters=60, axis: str = "cones",
                             distributed_factor=False,
                             factor_dtype="float64", chol_block=256,
-                            phase1="auto"):
+                            phase1="auto", checkpoint_path=None,
+                            checkpoint_every=1, resume=False):
     """Full distributed SOCP barrier solve with the cone axis sharded
     over the mesh:
 
@@ -286,9 +286,18 @@ def solve_socp_cone_sharded(mesh: Mesh, A, b, c, d, P_obj=None, q=None,
     SOCPSolver.py; the distribution scheme is new TPU-native capability
     (the reference is single-GPU, SURVEY.md §2.2).
 
+    ``checkpoint_path`` enables mid-solve checkpointing exactly as in
+    ``solve_lp_row_sharded``: the outer loop runs in host-stepped chunks
+    of ``checkpoint_every`` barrier stages with the full resumable state
+    persisted (atomic .npz) between chunks; ``resume=True`` continues a
+    killed job from its last completed chunk (phase one is not re-run).
+    Without it the whole solve is ONE device program.
+
     Returns a dict with x, v (equality multipliers, empty when F is
     None), objective, outer_iters, newton_iters.
     """
+    import os
+
     from ..models.base import ensure_x64
     ensure_x64("float64")
     ndev = mesh.shape[axis]
@@ -324,6 +333,17 @@ def solve_socp_cone_sharded(mesh: Mesh, A, b, c, d, P_obj=None, q=None,
             x0 = 0.5 * (lb_v + ub_v)
     x0 = jnp.asarray(x0, dtype)
 
+    # resume from a mid-solve checkpoint: the stored iterate replaces x0
+    # BEFORE the cone-feasibility gate (it is strictly feasible, so
+    # phase one is skipped rather than re-run)
+    ck_state = None
+    if checkpoint_path is not None and resume \
+            and os.path.exists(checkpoint_path):
+        import numpy as _np
+        with _np.load(checkpoint_path) as z:
+            ck_state = {k: z[k] for k in z.files}
+        x0 = jnp.asarray(ck_state["x"], dtype)
+
     if phase1 == "auto" or phase1 is True:
         lhs = jnp.einsum("kmn,n->km", A, x0) + b
         rhs = c @ x0 + d
@@ -343,21 +363,33 @@ def solve_socp_cone_sharded(mesh: Mesh, A, b, c, d, P_obj=None, q=None,
     qv = jnp.asarray(q, dtype) if has_q else jnp.zeros((1,), dtype)
     v0 = jnp.zeros((mg,), dtype)
 
+    chunk = (int(max_outer_iters) if checkpoint_path is None
+             else int(checkpoint_every))
     prog = _cone_sharded_barrier(
-        mesh, axis, m_true=m_true, num_ineq=num_ineq, t0=float(t0),
+        mesh, axis, m_true=m_true, num_ineq=num_ineq,
         mu=float(mu), eps=float(epsilon), inner_eps=float(inner_epsilon),
         alpha=float(alpha), beta=float(beta),
-        J=int(max_linesearch_steps), max_outer=int(max_outer_iters),
+        J=int(max_linesearch_steps), max_outer=chunk,
         max_inner=int(max_inner_iters), has_P=has_P, has_q=has_q,
         distributed_factor=bool(distributed_factor),
         factor_dtype=factor_dtype, chol_block=int(chol_block), ndev=ndev)
 
-    x, v, obj, outer_it, total_nt = prog(
-        qv, Pm, shard_cones(mesh, A_p, axis),
-        shard_cones(mesh, b_p, axis), shard_cones(mesh, c_p, axis),
-        shard_cones(mesh, d_p, axis), F_p, g_p, lb_v, ub_v, x0, v0)
+    operands = (qv, Pm, shard_cones(mesh, A_p, axis),
+                shard_cones(mesh, b_p, axis), shard_cones(mesh, c_p, axis),
+                shard_cones(mesh, d_p, axis), F_p, g_p, lb_v, ub_v)
+    prog_call = lambda x, v, tv: prog(*operands, x, v, tv)
+
+    if checkpoint_path is None:
+        x, v, obj, outer_it, total_nt, _, _ = prog_call(
+            x0, v0, jnp.asarray(float(t0), dtype))
+        return dict(x=x, v=v[:m_true], objective=obj,
+                    outer_iters=int(outer_it), newton_iters=int(total_nt))
+
+    x, v, obj, outer_it, total_nt = _checkpointed_outer_loop(
+        prog_call, x0, v0, float(t0), dtype, int(max_outer_iters),
+        checkpoint_path, ck_state)
     return dict(x=x, v=v[:m_true], objective=obj,
-                outer_iters=int(outer_it), newton_iters=int(total_nt))
+                outer_iters=outer_it, newton_iters=total_nt)
 
 
 def _cone_sharded_phase1(mesh, A, b, c, d, F, g, lb_v, ub_v, x0, *, axis,

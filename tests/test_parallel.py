@@ -340,3 +340,47 @@ def test_row_sharded_phase1_unbounded_region_terminates():
                                x0=np.zeros(n), epsilon=1e-6)
     # optimum: x = 1 (componentwise), objective n
     assert abs(float(res["objective"]) - n) < 1e-3
+
+
+def test_row_sharded_checkpoint_resume(tmp_path):
+    """Mid-solve checkpoint/resume on the distributed LP solve: a
+    partial run (killed after 3 barrier stages) resumed in a FRESH call
+    must reach the clean run's optimum with the SAME total stage count,
+    without re-running phase one (the distributed analogue of
+    tests/test_checkpoint.py::test_midsolve_checkpoint_resume)."""
+    mesh = make_mesh(8, ("rows",))
+    rng = np.random.default_rng(41)
+    n, m, k = 30, 21, 19
+    A = rng.uniform(-2, 2, (m, n))
+    C = rng.uniform(-2, 2, (k, n))
+    x_feas = rng.uniform(-1, 1, n)
+    c = rng.uniform(-2, 2, n)
+    b = A @ x_feas
+    d = C @ x_feas + 0.5
+    kw = dict(lb=-3.0, ub=3.0, epsilon=1e-9)
+
+    clean = solve_lp_row_sharded(mesh, c, A, b, C, d, x0=x_feas, **kw)
+    assert clean["outer_iters"] > 3
+
+    path = str(tmp_path / "dist_lp.npz")
+    part = solve_lp_row_sharded(mesh, c, A, b, C, d, x0=x_feas,
+                                max_outer_iters=3, checkpoint_path=path,
+                                **kw)
+    assert part["outer_iters"] == 3
+
+    # resume from an infeasible x0: the checkpointed iterate (strictly
+    # feasible) must be used instead, skipping phase one entirely
+    res = solve_lp_row_sharded(mesh, c, A, b, C, d, x0=x_feas + 50.0,
+                               checkpoint_path=path, resume=True, **kw)
+    assert res["outer_iters"] == clean["outer_iters"]
+    assert float(res["objective"]) == pytest.approx(
+        float(clean["objective"]), rel=1e-9, abs=1e-9)
+    np.testing.assert_allclose(np.asarray(res["x"]),
+                               np.asarray(clean["x"]), atol=1e-7)
+
+    # resuming a COMPLETED checkpoint is a no-op (no device work)
+    again = solve_lp_row_sharded(mesh, c, A, b, C, d,
+                                 checkpoint_path=path, resume=True, **kw)
+    assert again["outer_iters"] == clean["outer_iters"]
+    assert float(again["objective"]) == pytest.approx(
+        float(clean["objective"]), abs=1e-12)

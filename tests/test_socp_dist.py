@@ -122,3 +122,30 @@ def test_cone_sharded_infeasible_raises():
     with pytest.raises(ValueError, match="infeasible"):
         solve_socp_cone_sharded(mesh, A, b, c, d,
                                 q=rng.randn(n), epsilon=1e-6)
+
+
+def test_cone_sharded_checkpoint_resume(tmp_path):
+    """Mid-solve checkpoint/resume on the distributed SOCP solve: a run
+    killed after 3 barrier stages and resumed fresh must reach the clean
+    run's optimum with the same total stage count."""
+    P, q, A, b, c, d, F, g, lb, ub, x0 = _gen_socp(seed=7)
+    mesh = make_mesh(8, ("cones",))
+    kw = dict(epsilon=1e-9)
+    clean = solve_socp_cone_sharded(mesh, A, b, c, d, P, q, F, g, lb,
+                                    ub, x0=x0, **kw)
+    assert clean["outer_iters"] > 3
+
+    path = str(tmp_path / "dist_socp.npz")
+    part = solve_socp_cone_sharded(mesh, A, b, c, d, P, q, F, g, lb, ub,
+                                   x0=x0, max_outer_iters=3,
+                                   checkpoint_path=path, **kw)
+    assert part["outer_iters"] == 3
+
+    res = solve_socp_cone_sharded(mesh, A, b, c, d, P, q, F, g, lb, ub,
+                                  x0=x0, checkpoint_path=path,
+                                  resume=True, **kw)
+    assert res["outer_iters"] == clean["outer_iters"]
+    assert float(res["objective"]) == pytest.approx(
+        float(clean["objective"]), rel=1e-9, abs=1e-9)
+    np.testing.assert_allclose(np.asarray(res["x"]),
+                               np.asarray(clean["x"]), atol=1e-7)
