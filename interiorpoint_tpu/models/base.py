@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..ops.barrier import full_linear_slacks
 from ..ops.ipm import IPMResult, barrier_solve
+from ..utils import metrics
 from ..utils.config import SolverConfig
 
 
@@ -361,6 +362,8 @@ class BarrierDriver:
         """
         if not resolve and self.optimal:
             return self.value
+        import time as _time
+        _wall0 = _time.time()
 
         t0 = kwargs.get("t0", None)
         if t0 is None:
@@ -479,6 +482,22 @@ class BarrierDriver:
                                           g_full)
                 self.v_star = np.asarray(v) / float(res.t)
                 self.vstar = self.v_star
+
+        # structured observability (utils/metrics.py): one record per
+        # solve, emitted to the JSON-lines sink when metrics.enable()d
+        self.last_metrics = metrics.solve_record(
+            type(self).__name__,
+            n=self.n, num_constraints=self.num_constraints,
+            num_eq=(A.shape[0] if A is not None else 0),
+            value=self.value, dual_gap=self.optimality_gap,
+            outer_iters=self.outer_iters,
+            newton_iters=int(sum(self.inner_iters)),
+            backtrack_hist=self.backtrack_hist,
+            wall_s=_time.time() - _wall0,
+            phase1_ran=(res.phase1 is not None
+                        and np.isfinite(res.phase1.s)),
+            extra={"staged": bool(staged), "t_final": float(res.t)})
+        metrics.emit(self.last_metrics)
 
         return self.value
 

@@ -103,6 +103,8 @@ class LassoSolver:
     def solve(self):
         """Returns (X, solutions, gaps, iterations)
         (reference: LassoSolver.py:226-238,327-337)."""
+        import time as _time
+        _wall0 = _time.time()
         if self.num_chunks == 1:
             res = admm_core(self._A, self._b, self._reg, self.cfg,
                             self.num_samples)
@@ -111,6 +113,7 @@ class LassoSolver:
             it = int(res.iterations)
             self.gaps = np.asarray(res.gaps)[:it]
             self.num_iterations = [it]
+            self._emit_metrics(_time.time() - _wall0)
             return self.X, self.solutions, self.gaps, it
 
         # strided chunks (reference: LassoSolver.py:349-351)
@@ -131,7 +134,26 @@ class LassoSolver:
             if self.compute_loss:
                 self.gaps[:, sel] = np.asarray(res.gaps)
             self.num_iterations.append(int(res.iterations))
+        self._emit_metrics(_time.time() - _wall0)
         return self.X, self.solutions, self.gaps, self.num_iterations
+
+    def _emit_metrics(self, wall_s):
+        """Structured per-solve record (utils/metrics.py); ADMM has no
+        barrier loop, so outer_iters carries the chunk count and
+        newton_iters the total ADMM iterations."""
+        from ..utils import metrics
+        iters = (self.num_iterations
+                 if isinstance(self.num_iterations, list)
+                 else [self.num_iterations])
+        self.last_metrics = metrics.solve_record(
+            type(self).__name__, n=self.X.shape[0],
+            num_constraints=0, num_eq=0,
+            value=float(np.mean(self.solutions)), dual_gap=None,
+            outer_iters=len(iters), newton_iters=int(sum(iters)),
+            wall_s=wall_s,
+            extra={"num_samples": int(self.num_samples),
+                   "num_chunks": int(self.num_chunks)})
+        metrics.emit(self.last_metrics)
 
     def objective(self):
         """(reference: LassoSolver.py:487-515)"""

@@ -408,3 +408,56 @@ def test_mps_rhs_ranges_optional_set_name(tmp_path):
     b = mps.lp_relaxation(mps.parse_mps(path2), big=1e4)
     for x, y in zip(a, b):
         np.testing.assert_allclose(x, y)
+
+
+def test_metrics_records_and_jsonl(tmp_path):
+    """Structured metrics (utils/metrics.py — the SURVEY §5
+    observability upgrade over the reference's print-only story): a
+    solve populates solver.last_metrics, and when enable()d every solve
+    appends one parseable JSON line."""
+    import json
+
+    from interiorpoint_tpu import LassoSolver, LPSolver
+    from interiorpoint_tpu.utils import metrics
+
+    rng = np.random.default_rng(3)
+    n, m, k = 12, 8, 5
+    A = rng.uniform(-2, 2, (m, n))
+    C = rng.uniform(-2, 2, (k, n))
+    xf = rng.uniform(-1, 1, n)
+    c = rng.uniform(-2, 2, n)
+
+    def make():
+        return LPSolver(c=c, A=A, b=A @ xf, C=C, d=C @ xf,
+                        lower_bound=-3, upper_bound=3,
+                        suppress_print=True, check_cvxpy=False,
+                        epsilon=1e-6, t0=1)
+
+    # disabled (default): record populated, no file written
+    s = make()
+    s.solve()
+    rec = s.last_metrics
+    assert rec["kind"] == "LPSolver" and rec["n"] == n
+    assert rec["num_eq"] == m and rec["newton_iters"] > 0
+    assert rec["wall_s"] > 0 and not rec["phase1_ran"]
+    assert rec["value"] == pytest.approx(s.value)
+
+    path = tmp_path / "solves.jsonl"
+    metrics.enable(str(path))
+    try:
+        make().solve()
+        Al = rng.random((20, 6))
+        bl = Al @ rng.random(6) + 0.01 * rng.standard_normal(20)
+        LassoSolver(Al, bl, reg=0.1, check_cvxpy=False).solve()
+    finally:
+        metrics.disable()
+    assert not metrics.enabled()
+    lines = [json.loads(ln) for ln in path.read_text().splitlines()]
+    assert [r["kind"] for r in lines] == ["LPSolver", "LassoSolver"]
+    assert lines[1]["num_samples"] == 1
+    # records survive json round-trip with sane counters
+    assert all(r["newton_iters"] >= 1 and "ts" in r for r in lines)
+
+    # solves after disable() don't append
+    make().solve()
+    assert len(path.read_text().splitlines()) == 2
