@@ -397,8 +397,9 @@ def socp_newton_step_prepared(consts: SOCPConsts, tq, z, tP, sigmas, *,
       sigmas: (J,) candidate steps beta**k; alpha: Armijo parameter.
 
     Returns:
-      (x_new, nd, sigma, any_acc, dir_ok): accepted iterate (f64), Newton
-      decrement, accepted step, any-candidate flag, direction-trust flag.
+      (x_new, nd, sigma, any_acc, dir_ok, dx): accepted iterate (f64),
+      Newton decrement, accepted step, any-candidate flag,
+      direction-trust flag, and the (undamped) Newton direction.
     """
     r = consts.r
     rp = _pad(r)

@@ -204,7 +204,7 @@ def make_factor_tools(axis: str, ndev: int, distributed_factor: bool,
 def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
                          num_ineq: int, mu: float, eps: float,
                          inner_eps: float, alpha: float, beta: float,
-                         J: int, max_outer: int, max_inner: int,
+                         J: int, max_inner: int,
                          has_P: bool = False, distributed_factor=False,
                          factor_dtype: str = "float64",
                          chol_block: int = 256, ndev: int = 1):
@@ -245,7 +245,10 @@ def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
     _make_solve = make_factor_tools(axis, ndev, distributed_factor,
                                     chol_block)
 
-    def prog(c, Pm, A, b, C, d, lb, ub, x0, v0, t0v):
+    def prog(c, Pm, A, b, C, d, lb, ub, x0, v0, t0v, max_outer):
+        # max_outer is a traced operand (not a static), so the chunked
+        # checkpoint loop can run exactly the remaining stage budget
+        # without recompiling per chunk size.
         dtype = x0.dtype
         sig = jnp.asarray(beta, dtype) ** jnp.arange(J, dtype=dtype)
 
@@ -442,7 +445,7 @@ def _row_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
     return jax.jit(shard_map(
         prog, mesh=mesh,
         in_specs=(rep, rep, spec_rows, spec_vec_rows, spec_rows,
-                  spec_vec_rows, rep, rep, rep, rep, rep),
+                  spec_vec_rows, rep, rep, rep, rep, rep, rep),
         out_specs=(rep, rep, rep, rep, rep, rep, rep),
         check_vma=False,
     ))
@@ -484,11 +487,17 @@ def solve_lp_row_sharded(mesh: Mesh, c, A, b, C, d, lb=None, ub=None, *,
     (see ``_row_sharded_barrier``).
 
     ``checkpoint_path`` enables mid-solve checkpointing: the outer loop
-    runs in host-stepped chunks of ``checkpoint_every`` barrier stages
-    and the full resumable state is persisted (atomic .npz) between
-    chunks; ``resume=True`` continues a killed job from its last
-    completed chunk (phase one is not re-run).  Without it the whole
-    solve is ONE device program (zero host round-trips).
+    runs in host-stepped chunks of min(``checkpoint_every``, remaining
+    stage budget) barrier stages and the full resumable state is
+    persisted (atomic .npz, process 0 only on multi-host meshes)
+    between chunks; ``resume=True`` continues a killed job from its
+    last completed chunk without re-running phase one.  A job killed
+    DURING phase one resumes the phase-1 barrier itself from the
+    ``checkpoint_path + ".p1"`` sidecar.  Checkpoints are tied to the
+    problem data — delete the files when the data changes (resuming
+    against perturbed data restarts the barrier schedule from a fresh
+    phase-1 point).  Without a checkpoint path the whole solve is ONE
+    device program (zero host round-trips).
     """
     return _solve_row_sharded(
         mesh, None, c, A, b, C, d, lb, ub, x0=x0, t0=t0, mu=mu,
@@ -532,7 +541,9 @@ def solve_qp_row_sharded(mesh: Mesh, P_obj, c, A, b, C, d, lb=None,
 
 
 def _row_sharded_phase1(mesh, A, b, C, d, lb_v, ub_v, x0, *, axis,
-                        distributed_factor, factor_dtype, chol_block):
+                        distributed_factor, factor_dtype, chol_block,
+                        checkpoint_path=None, checkpoint_every=1,
+                        resume=False):
     """Distributed phase one: find a strictly feasible point for
     Cx ≤ d (within the box) by solving the extended LP
 
@@ -572,7 +583,9 @@ def _row_sharded_phase1(mesh, A, b, C, d, lb_v, ub_v, x0, *, axis,
         beta=0.6, max_linesearch_steps=40, max_outer_iters=30,
         max_inner_iters=60, axis=axis,
         distributed_factor=distributed_factor, factor_dtype=factor_dtype,
-        chol_block=chol_block, phase1=False)
+        chol_block=chol_block, phase1=False,
+        checkpoint_path=checkpoint_path,
+        checkpoint_every=checkpoint_every, resume=resume)
     z = np.asarray(res["x"])
     if not np.isfinite(z).all() or z[n] >= 0:
         raise ValueError(
@@ -638,14 +651,11 @@ def _solve_row_sharded(mesh, P_obj, c, A, b, C, d, lb, ub, *, x0, t0, mu,
     x0 = jnp.asarray(x0, dtype)
 
     # resume from a mid-solve checkpoint: the stored iterate replaces x0
-    # BEFORE the feasibility gate (it is strictly feasible, so phase one
-    # is skipped rather than re-run on the original infeasible start)
-    ck_state = None
-    if checkpoint_path is not None and resume \
-            and os.path.exists(checkpoint_path):
-        import numpy as _np
-        with _np.load(checkpoint_path) as z:
-            ck_state = {k: z[k] for k in z.files}
+    # BEFORE the feasibility gate (it is strictly feasible for the data
+    # it was written against, so phase one is skipped rather than re-run
+    # on the original infeasible start)
+    ck_state = _load_checkpoint(checkpoint_path, resume)
+    if ck_state is not None:
         x0 = jnp.asarray(ck_state["x"], dtype)
 
     # strict-feasibility gate: the barrier needs every slack positive at
@@ -660,7 +670,19 @@ def _solve_row_sharded(mesh, P_obj, c, A, b, C, d, lb, ub, *, x0, t0, mu,
             x0 = _row_sharded_phase1(
                 mesh, A, b, C, d, lb_v, ub_v, x0, axis=axis,
                 distributed_factor=distributed_factor,
-                factor_dtype=factor_dtype, chol_block=chol_block)
+                factor_dtype=factor_dtype, chol_block=chol_block,
+                # killed-during-phase-1 jobs resume the phase-1 barrier
+                # itself from its own sidecar checkpoint
+                checkpoint_path=(None if checkpoint_path is None
+                                 else checkpoint_path + ".p1"),
+                checkpoint_every=checkpoint_every, resume=resume)
+            # the gate firing on a RESUMED iterate means the problem
+            # data changed since the checkpoint was written: the stored
+            # (v, t, counters) no longer describe this barrier
+            # trajectory, so restart the schedule from the fresh
+            # phase-1 point instead of resuming into an inconsistent
+            # state.
+            ck_state = None
     v0 = jnp.zeros((mp,), dtype)
 
     has_P = P_obj is not None
@@ -669,48 +691,69 @@ def _solve_row_sharded(mesh, P_obj, c, A, b, C, d, lb, ub, *, x0, t0, mu,
     Pm = (jnp.asarray(P_obj, dtype) if has_P
           else jnp.zeros((1, 1), dtype))
 
-    chunk = (int(max_outer_iters) if checkpoint_path is None
-             else int(checkpoint_every))
     prog = _row_sharded_barrier(
         mesh, axis, m_true=m_true, k_true=k_true, num_ineq=num_ineq,
         mu=float(mu), eps=float(epsilon),
         inner_eps=float(inner_epsilon), alpha=float(alpha),
         beta=float(beta), J=int(max_linesearch_steps),
-        max_outer=chunk, max_inner=int(max_inner_iters),
+        max_inner=int(max_inner_iters),
         has_P=has_P, distributed_factor=bool(distributed_factor),
         factor_dtype=factor_dtype, chol_block=int(chol_block), ndev=ndev)
 
     operands = (c, Pm, shard_rows(mesh, A_p, axis),
                 shard_rows(mesh, b_p, axis), shard_rows(mesh, C_p, axis),
                 shard_rows(mesh, d_p, axis), lb_v, ub_v)
-    prog_call = lambda x, v, tv: prog(*operands, x, v, tv)
+    prog_call = lambda x, v, tv, mo: prog(
+        *operands, x, v, tv, jnp.asarray(mo, jnp.int32))
 
-    if checkpoint_path is None:
-        x, v, obj, outer_it, total_nt, _, _ = prog_call(
-            x0, v0, jnp.asarray(float(t0), dtype))
-        return dict(x=x, v=v[:m_true], objective=obj,
-                    outer_iters=int(outer_it), newton_iters=int(total_nt))
-
-    x, v, obj, outer_it, total_nt = _checkpointed_outer_loop(
+    x, v, obj, outer_it, total_nt = _dispatch_barrier(
         prog_call, x0, v0, float(t0), dtype, int(max_outer_iters),
-        checkpoint_path, ck_state)
+        checkpoint_path, int(checkpoint_every), ck_state)
     return dict(x=x, v=v[:m_true], objective=obj,
                 outer_iters=outer_it, newton_iters=total_nt)
 
 
-def _checkpointed_outer_loop(prog_call, x0, v0, t0, dtype, max_outer,
-                             path, ck_state):
-    """Host-chunked outer loop with atomic .npz checkpoints between
-    chunks (the distributed analogue of the staged-dispatch mid-solve
-    resume, utils/checkpoint.py): each `prog_call` runs up to
-    `checkpoint_every` barrier stages on device, the full resumable
-    state (x, v, t, counters, objective, converged) is persisted on the
-    host between calls, and a killed job continues from its last
-    completed chunk via ``resume=True``."""
+def _load_checkpoint(path, resume):
+    """Load a mid-solve checkpoint dict, or None when not resuming /
+    absent.  Checkpoints are tied to the problem data they were written
+    against — delete the file (and its .p1 sidecar) when the data
+    changes."""
+    if path is None or not resume or not os.path.exists(path):
+        return None
+    import numpy as np
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def _dispatch_barrier(prog_call, x0, v0, t0, dtype, max_outer,
+                      path, checkpoint_every, ck_state):
+    """Run the distributed barrier program, either as ONE device call
+    (no checkpoint path) or as a host-chunked outer loop with atomic
+    .npz checkpoints between chunks (the distributed analogue of the
+    staged-dispatch mid-solve resume, utils/checkpoint.py).
+
+    Each chunk runs exactly ``min(checkpoint_every, remaining budget)``
+    barrier stages — ``max_outer_iters`` is never overshot — and the
+    full resumable state (x, v, t, counters, objective, converged) is
+    persisted between chunks; a killed job continues from its last
+    completed chunk via ``resume=True``.  On multi-host meshes only
+    process 0 writes (every process executes the same device program,
+    so the state is identical); resume expects the file visible to all
+    processes (shared filesystem) or an identical copy per host.
+
+    Shared by the row-sharded LP/QP and cone-sharded SOCP solvers."""
     import numpy as np
 
     from ..utils.checkpoint import _atomic_savez
 
+    if path is None:
+        x, v, obj, outer_it, total_nt, _, _ = prog_call(
+            x0, v0, jnp.asarray(t0, dtype), max_outer)
+        return x, v, obj, int(outer_it), int(total_nt)
+
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}")
     outer_it, total_nt = 0, 0
     t_cur = t0
     obj, done = None, False
@@ -723,16 +766,24 @@ def _checkpointed_outer_loop(prog_call, x0, v0, t0, dtype, max_outer,
         obj = float(ck_state["objective"])
         done = bool(ck_state["done"])
     x, v = x0, v0
+    is_writer = jax.process_index() == 0
     while not done and outer_it < max_outer:
+        stages = min(checkpoint_every, max_outer - outer_it)
         x, v, obj, oit, nt, t_fin, dflag = prog_call(
-            x, v, jnp.asarray(t_cur, dtype))
+            x, v, jnp.asarray(t_cur, dtype), stages)
         outer_it += int(oit)
         total_nt += int(nt)
         t_cur = float(t_fin)
         done = bool(dflag)
-        _atomic_savez(path, dict(
-            x=np.asarray(x), v=np.asarray(v), t=np.asarray(t_cur),
-            outer_iters=np.asarray(outer_it),
-            newton_iters=np.asarray(total_nt),
-            objective=np.asarray(float(obj)), done=np.asarray(done)))
+        if is_writer:
+            _atomic_savez(path, dict(
+                x=np.asarray(x), v=np.asarray(v), t=np.asarray(t_cur),
+                outer_iters=np.asarray(outer_it),
+                newton_iters=np.asarray(total_nt),
+                objective=np.asarray(float(obj)), done=np.asarray(done)))
+    if obj is None:
+        # loop never ran (max_outer_iters=0 with no prior checkpoint):
+        # fetch the device-computed objective of the start iterate with
+        # a zero-stage call, matching the non-checkpointed path.
+        x, v, obj, _, _, _, _ = prog_call(x, v, jnp.asarray(t_cur, dtype), 0)
     return x, v, obj, outer_it, total_nt

@@ -28,7 +28,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.barrier import SLACK_EPS, SOCP_SLACK_EPS
-from .distributed import _checkpointed_outer_loop, make_factor_tools
+from .distributed import _dispatch_barrier, _load_checkpoint, \
+    make_factor_tools
 
 
 def shard_cones(mesh: Mesh, arr, axis: str = "cones"):
@@ -53,7 +54,7 @@ def _pad_cones(A, b, c, d, Kp):
 def _cone_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int,
                           num_ineq: int, mu: float, eps: float,
                           inner_eps: float, alpha: float, beta: float,
-                          J: int, max_outer: int, max_inner: int,
+                          J: int, max_inner: int,
                           has_P: bool, has_q: bool,
                           distributed_factor=False,
                           factor_dtype: str = "float64",
@@ -79,7 +80,8 @@ def _cone_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int,
     _make_solve = make_factor_tools(axis, ndev, distributed_factor,
                                     chol_block)
 
-    def prog(q, Pm, A, b, cv, d, F, g_eq, lb, ub, x0, v0, t0v):
+    def prog(q, Pm, A, b, cv, d, F, g_eq, lb, ub, x0, v0, t0v, max_outer):
+        # max_outer is a traced operand — see _row_sharded_barrier.
         dtype = x0.dtype
         n = x0.shape[0]
         mg = F.shape[0]
@@ -249,7 +251,7 @@ def _cone_sharded_barrier(mesh: Mesh, axis: str, *, m_true: int,
     return jax.jit(shard_map(
         prog, mesh=mesh,
         in_specs=(rep, rep, spec_cones(3), spec_cones(2), spec_cones(2),
-                  spec_cones(1), rep, rep, rep, rep, rep, rep, rep),
+                  spec_cones(1), rep, rep, rep, rep, rep, rep, rep, rep),
         out_specs=(rep, rep, rep, rep, rep, rep, rep),
         check_vma=False,
     ))
@@ -286,18 +288,15 @@ def solve_socp_cone_sharded(mesh: Mesh, A, b, c, d, P_obj=None, q=None,
     SOCPSolver.py; the distribution scheme is new TPU-native capability
     (the reference is single-GPU, SURVEY.md §2.2).
 
-    ``checkpoint_path`` enables mid-solve checkpointing exactly as in
-    ``solve_lp_row_sharded``: the outer loop runs in host-stepped chunks
-    of ``checkpoint_every`` barrier stages with the full resumable state
-    persisted (atomic .npz) between chunks; ``resume=True`` continues a
-    killed job from its last completed chunk (phase one is not re-run).
-    Without it the whole solve is ONE device program.
+    ``checkpoint_path``/``checkpoint_every``/``resume`` enable mid-solve
+    checkpointing exactly as in ``solve_lp_row_sharded`` (host-stepped
+    chunks, atomic .npz, phase-1 ``.p1`` sidecar, process-0 writes —
+    see that docstring).  Without a checkpoint path the whole solve is
+    ONE device program.
 
     Returns a dict with x, v (equality multipliers, empty when F is
     None), objective, outer_iters, newton_iters.
     """
-    import os
-
     from ..models.base import ensure_x64
     ensure_x64("float64")
     ndev = mesh.shape[axis]
@@ -336,12 +335,8 @@ def solve_socp_cone_sharded(mesh: Mesh, A, b, c, d, P_obj=None, q=None,
     # resume from a mid-solve checkpoint: the stored iterate replaces x0
     # BEFORE the cone-feasibility gate (it is strictly feasible, so
     # phase one is skipped rather than re-run)
-    ck_state = None
-    if checkpoint_path is not None and resume \
-            and os.path.exists(checkpoint_path):
-        import numpy as _np
-        with _np.load(checkpoint_path) as z:
-            ck_state = {k: z[k] for k in z.files}
+    ck_state = _load_checkpoint(checkpoint_path, resume)
+    if ck_state is not None:
         x0 = jnp.asarray(ck_state["x"], dtype)
 
     if phase1 == "auto" or phase1 is True:
@@ -355,7 +350,13 @@ def solve_socp_cone_sharded(mesh: Mesh, A, b, c, d, P_obj=None, q=None,
                 mesh, A, b, c, d, F_p if has_F else None,
                 g_p[:m_true] if has_F else None, lb_v, ub_v, x0,
                 axis=axis, distributed_factor=distributed_factor,
-                factor_dtype=factor_dtype, chol_block=chol_block)
+                factor_dtype=factor_dtype, chol_block=chol_block,
+                checkpoint_path=(None if checkpoint_path is None
+                                 else checkpoint_path + ".p1"),
+                checkpoint_every=checkpoint_every, resume=resume)
+            # gate fired on a resumed iterate ⇒ data changed since the
+            # checkpoint: restart the schedule (see _solve_row_sharded)
+            ck_state = None
 
     has_P = P_obj is not None
     has_q = q is not None
@@ -363,13 +364,11 @@ def solve_socp_cone_sharded(mesh: Mesh, A, b, c, d, P_obj=None, q=None,
     qv = jnp.asarray(q, dtype) if has_q else jnp.zeros((1,), dtype)
     v0 = jnp.zeros((mg,), dtype)
 
-    chunk = (int(max_outer_iters) if checkpoint_path is None
-             else int(checkpoint_every))
     prog = _cone_sharded_barrier(
         mesh, axis, m_true=m_true, num_ineq=num_ineq,
         mu=float(mu), eps=float(epsilon), inner_eps=float(inner_epsilon),
         alpha=float(alpha), beta=float(beta),
-        J=int(max_linesearch_steps), max_outer=chunk,
+        J=int(max_linesearch_steps),
         max_inner=int(max_inner_iters), has_P=has_P, has_q=has_q,
         distributed_factor=bool(distributed_factor),
         factor_dtype=factor_dtype, chol_block=int(chol_block), ndev=ndev)
@@ -377,23 +376,20 @@ def solve_socp_cone_sharded(mesh: Mesh, A, b, c, d, P_obj=None, q=None,
     operands = (qv, Pm, shard_cones(mesh, A_p, axis),
                 shard_cones(mesh, b_p, axis), shard_cones(mesh, c_p, axis),
                 shard_cones(mesh, d_p, axis), F_p, g_p, lb_v, ub_v)
-    prog_call = lambda x, v, tv: prog(*operands, x, v, tv)
+    prog_call = lambda x, v, tv, mo: prog(
+        *operands, x, v, tv, jnp.asarray(mo, jnp.int32))
 
-    if checkpoint_path is None:
-        x, v, obj, outer_it, total_nt, _, _ = prog_call(
-            x0, v0, jnp.asarray(float(t0), dtype))
-        return dict(x=x, v=v[:m_true], objective=obj,
-                    outer_iters=int(outer_it), newton_iters=int(total_nt))
-
-    x, v, obj, outer_it, total_nt = _checkpointed_outer_loop(
+    x, v, obj, outer_it, total_nt = _dispatch_barrier(
         prog_call, x0, v0, float(t0), dtype, int(max_outer_iters),
-        checkpoint_path, ck_state)
+        checkpoint_path, int(checkpoint_every), ck_state)
     return dict(x=x, v=v[:m_true], objective=obj,
                 outer_iters=outer_it, newton_iters=total_nt)
 
 
 def _cone_sharded_phase1(mesh, A, b, c, d, F, g, lb_v, ub_v, x0, *, axis,
-                         distributed_factor, factor_dtype, chol_block):
+                         distributed_factor, factor_dtype, chol_block,
+                         checkpoint_path=None, checkpoint_every=1,
+                         resume=False):
     """Distributed SOCP phase one over z = [x, s]: minimize s subject to
     the rhs-shifted cones ‖A_k x + b_k‖ ≤ c_kᵀx + s + d_k (extended
     cone tensors A_ext = [A | 0], c_ext = [c | 1]), Fx = g and the box —
@@ -430,7 +426,9 @@ def _cone_sharded_phase1(mesh, A, b, c, d, F, g, lb_v, ub_v, x0, *, axis,
         mesh, A_ext, b, c_ext, d, None, q_ext, F_ext, g, lb_ext, ub_ext,
         x0=z0, epsilon=1e-6, axis=axis,
         distributed_factor=distributed_factor,
-        factor_dtype=factor_dtype, chol_block=chol_block, phase1=False)
+        factor_dtype=factor_dtype, chol_block=chol_block, phase1=False,
+        checkpoint_path=checkpoint_path,
+        checkpoint_every=checkpoint_every, resume=resume)
     z = np.asarray(res["x"])
     if not np.isfinite(z).all() or z[n] >= 0:
         raise ValueError(

@@ -384,3 +384,69 @@ def test_row_sharded_checkpoint_resume(tmp_path):
     assert again["outer_iters"] == clean["outer_iters"]
     assert float(again["objective"]) == pytest.approx(
         float(clean["objective"]), abs=1e-12)
+
+
+def test_row_sharded_checkpoint_budget_and_validation(tmp_path):
+    """checkpoint_every > 1 must never overshoot max_outer_iters (the
+    tail chunk runs exactly the remaining budget via the traced
+    max_outer operand), checkpoint_every < 1 raises, and a
+    max_outer_iters=0 checkpointed run still returns a device-computed
+    objective instead of None."""
+    mesh = make_mesh(8, ("rows",))
+    rng = np.random.default_rng(47)
+    n, m, k = 24, 16, 12
+    A = rng.uniform(-2, 2, (m, n))
+    C = rng.uniform(-2, 2, (k, n))
+    xf = rng.uniform(-1, 1, n)
+    c = rng.uniform(-2, 2, n)
+    b, d = A @ xf, C @ xf + 0.5
+    kw = dict(lb=-3.0, ub=3.0, x0=xf, epsilon=1e-9)
+    path = str(tmp_path / "b.npz")
+
+    res = solve_lp_row_sharded(mesh, c, A, b, C, d, max_outer_iters=5,
+                               checkpoint_path=path, checkpoint_every=3,
+                               **kw)
+    assert res["outer_iters"] == 5  # 3 + 2, not 3 + 3
+
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        solve_lp_row_sharded(mesh, c, A, b, C, d, checkpoint_path=path,
+                             checkpoint_every=0, **kw)
+
+    res0 = solve_lp_row_sharded(mesh, c, A, b, C, d, max_outer_iters=0,
+                                checkpoint_path=str(tmp_path / "z.npz"),
+                                **kw)
+    assert res0["outer_iters"] == 0
+    assert float(res0["objective"]) == pytest.approx(float(c @ xf))
+
+
+def test_row_sharded_phase1_checkpoint_sidecar(tmp_path):
+    """A job with checkpointing enabled persists the phase-1 barrier in
+    the .p1 sidecar, and a fresh resume reuses the completed phase-1
+    state instead of re-running it (review finding: phase 1 was never
+    checkpointed)."""
+    import os
+
+    mesh = make_mesh(8, ("rows",))
+    rng = np.random.default_rng(53)
+    n, k = 20, 14
+    C = rng.uniform(-2, 2, (k, n))
+    xf = rng.uniform(-1, 1, n)
+    c = rng.uniform(-2, 2, n)
+    d = C @ xf + 0.5
+    A0, b0 = np.zeros((0, n)), np.zeros((0,))
+    path = str(tmp_path / "p.npz")
+    kw = dict(lb=-3.0, ub=3.0, epsilon=1e-8)
+    x_bad = xf + 10.0   # infeasible: routes through phase one
+
+    part = solve_lp_row_sharded(mesh, c, A0, b0, C, d, x0=x_bad,
+                                max_outer_iters=2, checkpoint_path=path,
+                                **kw)
+    assert os.path.exists(path + ".p1")   # phase-1 barrier checkpointed
+    p1 = np.load(path + ".p1")
+    assert bool(p1["done"]) or p1["outer_iters"] > 0
+
+    res = solve_lp_row_sharded(mesh, c, A0, b0, C, d, x0=x_bad,
+                               checkpoint_path=path, resume=True, **kw)
+    clean = solve_lp_row_sharded(mesh, c, A0, b0, C, d, x0=x_bad, **kw)
+    assert float(res["objective"]) == pytest.approx(
+        float(clean["objective"]), rel=1e-7, abs=1e-7)
