@@ -17,6 +17,7 @@ from .models.socp import SOCPSolver, solve_socp
 from .models.lasso import LassoSolver, solve_lasso
 from .models.phase1 import PhaseOne, PhaseOneSolver
 from .utils.config import SolverConfig, AdmmConfig
+from .utils.certify import Certificate, certify
 from .models.problem import (
     LPProblem, QPProblem, SOCPProblem, LassoProblem,
     make_lp, make_qp, make_socp, make_lasso,
@@ -28,7 +29,7 @@ __all__ = [
     "LPSolver", "QPSolver", "SOCPSolver", "LassoSolver",
     "PhaseOneSolver", "PhaseOne",
     "solve_lp", "solve_qp", "solve_socp", "solve_lasso",
-    "SolverConfig", "AdmmConfig",
+    "SolverConfig", "AdmmConfig", "Certificate", "certify",
     "LPProblem", "QPProblem", "SOCPProblem", "LassoProblem",
     "make_lp", "make_qp", "make_socp", "make_lasso",
 ]
