@@ -16,10 +16,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..models.problem import LPProblem, QPProblem
+from ..models.problem import LPProblem, QPProblem, SOCPProblem
 from ..ops.barrier import make_phase1_linear_oracle, make_qp_oracle
 from ..ops.ipm import barrier_solve
 from ..ops.admm import admm_core
+from ..ops.socp import make_phase1_socp_oracle, make_socp_oracle
 from .mesh import batch_sharding, replicated
 
 
@@ -39,13 +40,24 @@ def _single_qp(prob, x0, t0, cfg, num_constraints, eq_gate, use_phase1):
                          t0=t0, p1_oracle=p1)
 
 
+def _single_socp(prob, x0, t0, cfg, num_constraints, eq_gate, use_phase1):
+    # the equality pair rides in the (A, b) slots exactly as the
+    # single-chip driver passes (F, g) (reference: SOCPSolver.py:535-553)
+    oracle = make_socp_oracle(prob)
+    p1 = make_phase1_socp_oracle(prob) if use_phase1 else None
+    return barrier_solve(oracle, prob.F, prob.g, x0, cfg,
+                         num_constraints=num_constraints, eq_gate=eq_gate,
+                         t0=t0, p1_oracle=p1)
+
+
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_constraints", "eq_gate",
                                    "use_phase1", "kind"))
 def _batch_core(prob_batch, x0_batch, t0, cfg, num_constraints, eq_gate,
                 use_phase1, kind):
-    single = _single_lp if kind == "lp" else _single_qp
+    single = {"lp": _single_lp, "qp": _single_qp,
+              "socp": _single_socp}[kind]
     # Batched solves use the fused Pallas Newton kernel when the engine's
     # gates select it: Pallas lowers a vmapped pallas_call by prepending
     # a grid dimension (validated on v5e by
@@ -57,19 +69,24 @@ def _batch_core(prob_batch, x0_batch, t0, cfg, num_constraints, eq_gate,
 
 
 def solve_batch(prob_batch, x0_batch, cfg, mesh=None, axis="batch"):
-    """Solve a batch of same-shaped LP/QP instances in parallel.
+    """Solve a batch of same-shaped LP/QP/SOCP instances in parallel.
 
     Args:
-      prob_batch: LPProblem/QPProblem pytree whose array leaves carry a
-        leading batch dimension (stack instances with
-        ``jax.tree.map(lambda *xs: jnp.stack(xs), *problems)``).
+      prob_batch: LPProblem/QPProblem/SOCPProblem pytree whose array
+        leaves carry a leading batch dimension (stack instances with
+        ``stack_problems``; SOCP cone tensors become (B, K, M, n)).
       x0_batch: (B, n) strictly-interior starting points.
       mesh: optional Mesh; the batch axis is sharded across ``axis`` so
         each chip solves its shard of instances (dp over problems).
 
     Returns an IPMResult pytree with a leading batch dimension.
     """
-    kind = "qp" if isinstance(prob_batch, QPProblem) else "lp"
+    if isinstance(prob_batch, SOCPProblem):
+        kind = "socp"
+    elif isinstance(prob_batch, QPProblem):
+        kind = "qp"
+    else:
+        kind = "lp"
     if cfg.allow_stream:
         # resident-mode vmap-of-pallas is hardware-validated
         # (scripts/tpu_vmap_pallas_check.py); the streaming kernel's
@@ -83,7 +100,8 @@ def solve_batch(prob_batch, x0_batch, cfg, mesh=None, axis="batch"):
             x, batch_sharding(mesh, axis, x.ndim))
         prob_batch = jax.tree.map(shard, prob_batch)
         x0_batch = shard(x0_batch)
-    use_phase1 = prob_batch.C is not None
+    use_phase1 = (True if kind == "socp"
+                  else prob_batch.C is not None)
     n = x0_batch.shape[-1]
     num_constraints = prob_batch.num_ineq_constraints
     eq_gate = (cfg.eq_gate if cfg.eq_gate is not None

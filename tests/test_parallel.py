@@ -450,3 +450,50 @@ def test_row_sharded_phase1_checkpoint_sidecar(tmp_path):
     clean = solve_lp_row_sharded(mesh, c, A0, b0, C, d, x0=x_bad, **kw)
     assert float(res["objective"]) == pytest.approx(
         float(clean["objective"]), rel=1e-7, abs=1e-7)
+
+
+def test_batched_socp_sharded_matches_slsqp():
+    """8 SOCP instances solved in one vmapped program (dp over problems,
+    completing the batching story across the IPM classes); every
+    instance must match its own SLSQP optimum."""
+    from scipy.optimize import minimize
+
+    from interiorpoint_tpu.models.problem import make_socp
+
+    mesh = make_mesh(8, ("batch",))
+    n, K, M = 10, 3, 4
+    probs, x0s, refs = [], [], []
+    for s in range(8):
+        rng = np.random.default_rng(200 + s)
+        A = [rng.standard_normal((M, n)) for _ in range(K)]
+        b = [rng.standard_normal(M) for _ in range(K)]
+        cc = [rng.standard_normal(n) for _ in range(K)]
+        x0 = rng.standard_normal(n) * 0.1
+        d = [np.linalg.norm(A[k] @ x0 + b[k]) - cc[k] @ x0 + 1.0
+             for k in range(K)]
+        Mq = rng.uniform(-1, 1, (n, n))
+        P = Mq.T @ Mq + np.eye(n)
+        q = rng.uniform(-1, 1, n)
+        probs.append(make_socp(A, b, cc, d, P=P, q=q, lb=-3.0, ub=3.0))
+        x0s.append(x0)
+        cons = [{"type": "ineq",
+                 "fun": lambda x, k=k, A=A, b=b, cc=cc, d=d:
+                 (cc[k] @ x + d[k]) - np.linalg.norm(A[k] @ x + b[k])}
+                for k in range(K)]
+        ref = minimize(lambda x, P=P, q=q: 0.5 * x @ P @ x + q @ x, x0,
+                       method="SLSQP", constraints=cons,
+                       bounds=[(-3, 3)] * n,
+                       options={"maxiter": 400, "ftol": 1e-12})
+        assert ref.success, ref.message
+        refs.append(ref.fun)
+
+    # one cone-infeasible start: the per-instance phase one inside the
+    # vmapped program must restore it without disturbing the others
+    x0s[3] = x0s[3] + 5.0
+    batch = stack_problems(probs)
+    x0_batch = jnp.asarray(np.stack(x0s), dtype=jnp.float64)
+    cfg = SolverConfig(epsilon=1e-9, t0=1.0, dtype="float64",
+                       eq_gate=1e-3)
+    res = solve_batch(batch, x0_batch, cfg, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(res.value), np.asarray(refs),
+                               rtol=1e-5, atol=1e-5)
