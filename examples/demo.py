@@ -50,6 +50,11 @@ def main():
     print(f"outer iters    {lp.outer_iters}, newton per center: "
           f"{lp.inner_iters}")
     print(f"min dual       {lp.lam_star.min():.2e} (>= 0)")
+    from interiorpoint_tpu import certify
+    cert = certify(lp)   # in-framework KKT certificate (no oracle solve)
+    print(f"KKT certified  stationarity {cert.stationarity:.2e}, "
+          f"complementarity {cert.complementarity:.2e}, "
+          f"ok(1e-6)={cert.ok(1e-6)}")
 
     # ------------------------------------------------------------------
     # 2. QP
