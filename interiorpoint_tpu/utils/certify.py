@@ -150,7 +150,9 @@ def certify(solver, x=None, polish: bool = True) -> Certificate:
         # slacks sit at O(1/(t·λ_j)) while inactive ones are O(1), so
         # √(gap)·scale separates them robustly.
         gap = max(G.shape[0] / t, 1e-300)
-        tau = np.sqrt(gap) * max(1.0, float(np.median(np.abs(sl))))
+        finite = sl[np.isfinite(sl)]
+        scale = float(np.median(np.abs(finite))) if finite.size else 1.0
+        tau = np.sqrt(gap) * max(1.0, scale)
         active = sl < tau
         lam = np.zeros(G.shape[0])
         for _ in range(2):          # fit, clip negatives, refit once
@@ -185,7 +187,11 @@ def certify(solver, x=None, polish: bool = True) -> Certificate:
         r = r + A.T @ v
 
     stationarity = float(np.abs(r).max() / max(1.0, np.abs(grad_f).max()))
-    comp = float((lam * sl).max()) if G.shape[0] else 0.0
+    # infinite slacks (a ±inf bound kept as a vector, e.g.
+    # lower_bound=-inf) are vacuous constraints: λ = 0 there, and
+    # 0·inf must read as 0, not NaN
+    fin = np.isfinite(sl)
+    comp = float((lam[fin] * sl[fin]).max()) if fin.any() else 0.0
     m_ineq = max(int(getattr(solver, "num_constraints", sl.size)), 0)
     return Certificate(
         kind=type(solver).__name__,
