@@ -126,14 +126,15 @@ def certify(solver, x=None, polish: bool = True) -> Certificate:
     """Evaluate the KKT certificate for a solved LP/QP/SOCP driver (or
     at an explicit iterate ``x``).  See the module docstring for the
     residuals and the ``polish`` dual-recovery semantics."""
+    # a solve must have run either way: the barrier parameter t (analytic
+    # duals, duality gap) only exists afterwards.  x= evaluates the
+    # certificate at a DIFFERENT iterate of the solved problem.
+    if not getattr(solver, "optimal", False):
+        raise ValueError("certify() needs a solved problem — call "
+                         "solver.solve() first")
     at_solution = x is None
-    if at_solution:
-        if not getattr(solver, "optimal", False):
-            raise ValueError("certify() needs a solved problem — call "
-                             "solver.solve() first (or pass x=)")
-        x = np.asarray(solver.xstar, dtype=np.float64)
-    else:
-        x = np.asarray(x, dtype=np.float64)
+    x = (np.asarray(solver.xstar, dtype=np.float64) if at_solution
+         else np.asarray(x, dtype=np.float64))
 
     t = float(solver._result.t)
     A, b = solver._eq

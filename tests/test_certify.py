@@ -41,6 +41,10 @@ def test_certify_lp_with_duals():
     s = _lp(get_dual_variables=True)
     s.solve()
     assert certify(s).ok(1e-5)
+    # polish=False is the branch that actually consumes solver.v_star
+    # (polish refits v itself): the solver-provided equality dual must
+    # certify at the analytic duals' honest tolerance
+    assert certify(s, polish=False).ok(5e-3)
 
 
 def test_certify_qp():
