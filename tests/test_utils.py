@@ -284,6 +284,33 @@ def test_mps_bounds_free_format_and_missing_value(tmp_path):
         mps.parse_mps(path)
 
 
+def test_structured_flow_lp_regression():
+    """Committed structured-instance regression (reference family:
+    testSolver.py:278-435 solves MIPLIB LP relaxations; aflow40b is a
+    fixed-charge network-flow model).  tests/data/miplib/flow40.npy is a
+    seeded instance of the same family generated by
+    scripts/make_flow_instance.py — sparse ±1 incidence equalities,
+    capacity-coupling inequalities, per-variable bounds, degenerate
+    optimum — solved here against HiGHS ground truth."""
+    from scipy.optimize import linprog
+    from interiorpoint_tpu.utils import miplib
+
+    path = os.path.join(os.path.dirname(__file__), "data", "miplib",
+                        "flow40.npy")
+    c, A, b, C, d, ub, lb = miplib.load_lp_npy(path)
+    solver = miplib.solve_lp_npy(path, suppress_print=True,
+                                 check_cvxpy=False, epsilon=1e-6)
+    ref = linprog(c, A_ub=C, b_ub=d, A_eq=A, b_eq=b,
+                  bounds=list(zip(lb, ub)), method="highs")
+    assert ref.status == 0
+    assert abs(solver.value - ref.fun) / abs(ref.fun) < 1e-4
+    # the returned point must actually be feasible, not just match the value
+    x = np.asarray(solver.xstar)
+    assert np.max(np.abs(A @ x - b)) < 1e-6
+    assert np.max(C @ x - d) < 1e-6
+    assert np.all(x >= lb - 1e-8) and np.all(x <= ub + 1e-8)
+
+
 def test_miplib_instance_regression():
     """Real-instance regression (reference: testSolver.py:278-435 on
     30n20b8/aflow40b).  The blobs are regenerable from public MPS sources
