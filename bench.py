@@ -42,7 +42,7 @@ def _timed_reps(solve_fn, reps):
     return float(np.mean(times)), times
 
 
-def bench_lp(n, reps, dtype):
+def bench_lp(n, reps, dtype, algorithm="barrier"):
     from interiorpoint_tpu import LPSolver
     from scipy.optimize import linprog
 
@@ -57,7 +57,7 @@ def bench_lp(n, reps, dtype):
         c=c, A=A, b=b, C=C, d=d, lower_bound=-3, upper_bound=3,
         suppress_print=True, check_cvxpy=False, epsilon=1e-4, mu=15, t0=1,
         max_inner_iters=20, max_outer_iters=10, beta=0.5, alpha=0.05,
-        dtype=dtype)
+        dtype=dtype, algorithm=algorithm)
     mean_s, times = _timed_reps(solver.solve, reps)
     val = solver.value
     note = ""
@@ -68,7 +68,7 @@ def bench_lp(n, reps, dtype):
     return mean_s, times, val, note
 
 
-def bench_qp(n, reps, dtype):
+def bench_qp(n, reps, dtype, algorithm="barrier"):
     from interiorpoint_tpu import QPSolver
 
     m, k = int(0.8 * n), 20
@@ -83,7 +83,7 @@ def bench_qp(n, reps, dtype):
         P=P, q=q, A=A, b=A @ x_feas, C=C, d=C @ x_feas, lower_bound=-3,
         upper_bound=3, suppress_print=True, check_cvxpy=False,
         epsilon=1e-8, mu=15, t0=0.01, max_inner_iters=100,
-        max_outer_iters=10, beta=0.6, dtype=dtype)
+        max_outer_iters=10, beta=0.6, dtype=dtype, algorithm=algorithm)
     mean_s, times = _timed_reps(solver.solve, reps)
     return mean_s, times, solver.value, ""
 
@@ -223,7 +223,14 @@ def main():
     p.add_argument("--roofline", action="store_true",
                    help="measure fused-kernel FLOP/s vs v5e peak instead "
                         "of end-to-end solve time")
+    p.add_argument("--algorithm", type=str, default="barrier",
+                   choices=["barrier", "pd"],
+                   help="pd = primal-dual Mehrotra predictor-corrector "
+                        "(LP/QP only; new capability beyond the "
+                        "reference's barrier method)")
     args = p.parse_args()
+    if args.algorithm == "pd" and args.suite not in ("lp", "qp"):
+        sys.exit("--algorithm pd supports lp/qp suites only")
 
     import jax
     if args.dtype == "float64":
@@ -258,13 +265,16 @@ def main():
            "lasso": bench_lasso}
 
     if args.suite != "all":
+        kw = ({"algorithm": args.algorithm}
+              if args.suite in ("lp", "qp") else {})
         mean_s, times, val, note = fns[args.suite](args.n, args.reps,
-                                                   args.dtype)
+                                                   args.dtype, **kw)
         print(f"# {args.suite} n={args.n}: objective {val:.8f} {note}; "
               f"times {['%.3f' % t for t in times]}", file=sys.stderr)
         baseline = BASELINES[args.suite].get(args.n)
+        suffix = "_pd" if args.algorithm == "pd" else ""
         print(json.dumps({
-            "metric": f"{args.suite}_n{args.n}_solve_seconds",
+            "metric": f"{args.suite}_n{args.n}{suffix}_solve_seconds",
             "value": round(mean_s, 4),
             "unit": "s",
             "vs_baseline": (round(baseline / mean_s, 3)

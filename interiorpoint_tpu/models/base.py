@@ -9,6 +9,7 @@ and class-specific validation.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Optional
 
@@ -87,6 +88,14 @@ def _barrier_core(prob, A, b, x0, t0, cfg, oracle_fn, p1_oracle_fn,
         num_constraints=num_constraints, eq_gate=eq_gate, t0=t0,
         p1_oracle=p1,
     )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _pd_core(prob, z0, cfg):
+    """Single jitted entry for a primal-dual Mehrotra solve (ops/pd.py) on
+    an inequality-form (reduced) problem pytree."""
+    from ..ops.pd import pd_solve
+    return pd_solve(prob, z0, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -216,8 +225,12 @@ class BarrierDriver:
                      get_dual_variables, phase1_tol, phase1_t0,
                      update_slacks_every, use_psd_condition=False,
                      dtype=None, refine_steps=0, eq_gate=None,
-                     staged_dispatch=None):
+                     staged_dispatch=None, algorithm="barrier"):
         del update_slacks_every  # unnecessary: exact slacks are free here
+        if algorithm not in ("barrier", "pd"):
+            raise ValueError("algorithm must be 'barrier' or 'pd', got "
+                             f"{algorithm!r}")
+        self.algorithm = algorithm
         self._dtype_name = dtype or default_dtype()
         ensure_x64(self._dtype_name)
         # t0="auto" scales the initial barrier parameter to the problem:
@@ -389,6 +402,9 @@ class BarrierDriver:
         else:
             x0 = self.x
 
+        if self.algorithm == "pd":
+            return self._solve_pd(cfg, x0, "x0" in kwargs, _wall0)
+
         dtype = cfg.jnp_dtype
         A, b = self._eq
         eq_gate = cfg.eq_gate if cfg.eq_gate is not None else self._eq_gate_default
@@ -499,6 +515,153 @@ class BarrierDriver:
             extra={"staged": bool(staged), "t_final": float(res.t)})
         metrics.emit(self.last_metrics)
 
+        return self.value
+
+    def _solve_pd(self, cfg, x0, explicit_x0, wall0):
+        """Primal-dual Mehrotra predictor-corrector path (ops/pd.py).
+
+        New capability beyond the reference (barrier-only); selected via
+        ``algorithm="pd"``.  Runs on the reduced (null-space) problem when
+        equalities exist, or on the bound-stacked inequality form
+        otherwise.  No phase one: the method is infeasible-start.  The
+        result surface (value/xstar/duals/certify/checkpoint) matches the
+        barrier path; ``_result.t`` carries the equivalent barrier
+        parameter m/gap so ``utils.certify`` and ``warm_solve`` work
+        unchanged."""
+        import time as _time
+        from types import SimpleNamespace
+
+        dtype = cfg.jnp_dtype
+        A, _ = self._eq
+
+        if self._reduced is not None:
+            rf = self._reduced
+            pprob = rf.prob
+            if getattr(pprob, "C", None) is None:
+                raise ValueError(
+                    "algorithm='pd' requires inequality constraints or "
+                    "bounds")
+            if explicit_x0:
+                z0 = rf.basis.N.T @ (jnp.asarray(x0, dtype=dtype)
+                                     - rf.basis.x_p)
+            else:
+                z0 = self._default_z0()
+            expand = rf.expand
+        else:
+            if A is not None:
+                raise ValueError(
+                    "algorithm='pd' on an equality-constrained problem "
+                    "needs the null-space elimination, which failed for "
+                    "this A (rank-deficient?); use the default barrier "
+                    "algorithm")
+            from .problem import LPProblem, QPProblem
+            from .reduced import _reduced_ineq_block
+
+            eye = jnp.eye(self.n, dtype=dtype)
+            xp = jnp.zeros(self.n, dtype=dtype)
+            C_z, d_z = _reduced_ineq_block(self._prob, eye, xp)
+            if C_z is None:
+                raise ValueError(
+                    "algorithm='pd' requires inequality constraints or "
+                    "bounds")
+            if getattr(self._prob, "P", None) is not None:
+                pprob = QPProblem(P=self._prob.P, q=self._prob.q,
+                                  C=C_z, d=d_z)
+            else:
+                pprob = LPProblem(c=self._prob.c, C=C_z, d=d_z)
+            z0 = jnp.asarray(x0, dtype=dtype)
+            expand = lambda z: z  # noqa: E731
+
+        # Drop vacuous rows (±inf bounds kept as vectors reach here as
+        # d = +inf): they carry no constraint force but would poison the
+        # PD slack/multiplier initialization.  Host-side filtering — d is
+        # concrete at this point — with λ re-expanded to the full slack
+        # order afterwards.
+        d_np = np.asarray(pprob.d)
+        finite_rows = np.isfinite(d_np)
+        if not finite_rows.all():
+            if not finite_rows.any():
+                raise ValueError(
+                    "algorithm='pd' requires at least one finite "
+                    "inequality constraint or bound")
+            idx = jnp.asarray(np.where(finite_rows)[0])
+            pprob = dataclasses.replace(
+                pprob, C=pprob.C[idx, :], d=pprob.d[idx])
+
+        res = _pd_core(pprob, z0, cfg)
+        x_full = expand(res.z)
+        res, x_full = jax.device_get((res, x_full))
+        if not finite_rows.all():
+            lam_full_order = np.zeros(d_np.shape[0])
+            lam_full_order[finite_rows] = np.asarray(res.lam)
+            res = res._replace(lam=lam_full_order)
+
+        self.xstar = np.asarray(x_full)
+        self.value = float(self._oracle_fn(self._prob).obj(
+            jnp.asarray(self.xstar, dtype=dtype)))
+        self.optimal = True
+        gap = float(res.gap)
+        self.optimality_gap = gap
+        iters = int(res.iters)
+        # PD has no outer/inner split: report one "stage" per iteration
+        # (each is one factorization, like a Newton step).
+        self.outer_iters = iters
+        self.inner_iters = [1] * iters
+        self.objective_vals = []
+        self.backtrack_hist = None
+        if not bool(res.converged) and not self.suppress_print:
+            print(f"pd: not converged after {iters} iterations "
+                  f"(gap {gap:.3g}, rp {float(res.rp_norm):.3g}, "
+                  f"rd {float(res.rd_norm):.3g})")
+
+        m_ineq = max(self.num_constraints, 1)
+        t_equiv = m_ineq / max(gap, 1e-300)
+        self._result = SimpleNamespace(
+            x=self.xstar, v=None, t=t_equiv, value=self.value,
+            dual_gap=gap, phase1=None)
+
+        if self.get_dual_variables:
+            lam = np.asarray(res.lam, dtype=np.float64)
+            self.lam_star = lam  # order [Cx≤d, ub, lb] = slack order
+            if A is not None:
+                # stationarity-consistent equality dual:
+                # ∇f + Cᵀλ_C + λ_ub − λ_lb + Aᵀv = 0
+                from ..ops.nullspace import recover_equality_dual
+
+                prob = self._prob
+                if getattr(prob, "P", None) is not None:
+                    g = np.asarray(prob.P) @ self.xstar
+                    if prob.q is not None:
+                        g = g + np.asarray(prob.q)
+                else:
+                    g = np.asarray(prob.c, dtype=np.float64).copy()
+                ofs = 0
+                if prob.C is not None:
+                    kC = prob.C.shape[0]
+                    g = g + np.asarray(prob.C).T @ lam[:kC]
+                    ofs = kC
+                if prob.ub is not None:
+                    g = g + lam[ofs:ofs + self.n]
+                    ofs += self.n
+                if prob.lb is not None:
+                    g = g - lam[ofs:ofs + self.n]
+                v = recover_equality_dual(self._reduced.basis, A,
+                                          jnp.asarray(g, dtype=dtype))
+                self.v_star = np.asarray(v)
+                self.vstar = self.v_star
+
+        self.last_metrics = metrics.solve_record(
+            type(self).__name__,
+            n=self.n, num_constraints=self.num_constraints,
+            num_eq=(A.shape[0] if A is not None else 0),
+            value=self.value, dual_gap=gap,
+            outer_iters=iters, newton_iters=iters,
+            backtrack_hist=None, wall_s=_time.time() - wall0,
+            phase1_ran=False,
+            extra={"algorithm": "pd", "converged": bool(res.converged),
+                   "rp_norm": float(res.rp_norm),
+                   "rd_norm": float(res.rd_norm)})
+        metrics.emit(self.last_metrics)
         return self.value
 
     def _full_gradient(self, x, t):

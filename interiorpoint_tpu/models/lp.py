@@ -93,7 +93,7 @@ class LPSolver(BarrierDriver):
                  get_dual_variables=False, phase1_tol=0, phase1_t0=0.01,
                  x0=None, update_slacks_every=0, dtype=None,
                  refine_steps=0, eq_gate=None, reduced=None,
-                 staged_dispatch=None):
+                 staged_dispatch=None, algorithm="barrier"):
         del use_gpu
         self.n = _validate_lp(c, A, b, C, d, lower_bound, upper_bound)
         self.equality_constrained = A is not None
@@ -110,7 +110,7 @@ class LPSolver(BarrierDriver):
             phase1_tol=phase1_tol, phase1_t0=phase1_t0,
             update_slacks_every=update_slacks_every, dtype=dtype,
             refine_steps=refine_steps, eq_gate=eq_gate,
-            staged_dispatch=staged_dispatch,
+            staged_dispatch=staged_dispatch, algorithm=algorithm,
         )
 
         lb = lower_bound

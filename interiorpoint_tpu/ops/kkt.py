@@ -110,15 +110,26 @@ _MIXED_MAX_REFINE = 20
 _MIXED_RTOL = 1e-13
 
 
-def mixed_posdef_solve(H, B, extra_refine: int = 0):
-    """Solve H X = B (f64) via Jacobi-scaled f32 Cholesky + adaptive f64
-    iterative refinement (runs until the f64 residual stops improving past
-    _MIXED_RTOL relative, capped at _MIXED_MAX_REFINE + extra_refine)."""
+def mixed_posdef_prepare(H):
+    """Factor H (f64) once for repeated right-hand sides: Jacobi scale +
+    f32 Cholesky of the scaled system.  Returns ``(d, Hs, L32)`` consumed
+    by ``mixed_posdef_factor_solve`` — the factor-reuse form of
+    ``mixed_posdef_solve`` (used by the primal-dual engine, ops/pd.py,
+    whose predictor and corrector share one factorization per iteration)."""
     dtype = H.dtype
     dg = jnp.diagonal(H)
     d = 1.0 / jnp.sqrt(jnp.maximum(dg, jnp.finfo(dtype).tiny))
     Hs = H * d[:, None] * d[None, :]
     L32 = robust_cholesky(Hs.astype(jnp.float32))
+    return d, Hs, L32
+
+
+def mixed_posdef_factor_solve(fac, B, extra_refine: int = 0):
+    """Solve H X = B given ``fac = mixed_posdef_prepare(H)``: adaptive f64
+    iterative refinement against the scaled f64 system, with the exact-f64
+    refactorization fallback when refinement stalls (κ(Hs)·eps32 ≳ 1)."""
+    d, Hs, L32 = fac
+    dtype = Hs.dtype
 
     vec = B.ndim == 1
     Bs = (d * B) if vec else (d[:, None] * B)
@@ -157,6 +168,14 @@ def mixed_posdef_solve(H, B, extra_refine: int = 0):
 
     X = lax.cond(rn > 1e-10 * bnorm, exact, lambda _: X, None)
     return (d * X) if vec else (d[:, None] * X)
+
+
+def mixed_posdef_solve(H, B, extra_refine: int = 0):
+    """Solve H X = B (f64) via Jacobi-scaled f32 Cholesky + adaptive f64
+    iterative refinement (runs until the f64 residual stops improving past
+    _MIXED_RTOL relative, capped at _MIXED_MAX_REFINE + extra_refine)."""
+    return mixed_posdef_factor_solve(mixed_posdef_prepare(H), B,
+                                     extra_refine)
 
 
 def matrix_free_posdef_solve(H_pre, apply_h, b, *, pcg_iters: int = 48,

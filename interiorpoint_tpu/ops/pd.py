@@ -1,0 +1,168 @@
+"""Primal-dual Mehrotra predictor-corrector engine for LP/QP.
+
+New capability beyond the reference suite, which implements only the
+log-barrier method (reference: LPSolver.py:514-653 outer loop,
+NewtonSolverInfeasibleStart.py:72-273 inner loop): an infeasible-start
+primal-dual interior-point method on the inequality-form problem
+
+    min ½ zᵀP z + qᵀz   s.t.   C z ≤ d        (P = 0 for LP)
+
+— i.e. the reduced (null-space-eliminated) problem the drivers already
+build (models/reduced.py), where equality constraints are gone and
+bounds are rows of C.  Compared to the barrier path at equal tolerance
+it typically needs 15–40 iterations instead of 70–150 Newton steps
+(one r×r factorization each), and it needs NO phase-one solve: the
+method is infeasible-start in both primal and dual, so a starting point
+that violates C z ≤ d costs a few extra iterations instead of a whole
+auxiliary barrier solve.
+
+TPU-first structure: the entire solve is ONE jitted ``lax.while_loop``
+over a small state pytree — no host round trips — and each iteration
+factors the Newton matrix H = P + Cᵀdiag(λ/s)C once, reusing the factor
+for the predictor and corrector solves (mixed-precision f32 factor +
+f64 refinement on TPU via ops/kkt.py ``mixed_posdef_prepare`` /
+``mixed_posdef_factor_solve``; native-precision Cholesky otherwise).
+
+Algorithm (Mehrotra 1992; Wright, "Primal-Dual Interior-Point Methods"
+ch. 10): affine-scaling predictor, adaptive centering σ = (μ_aff/μ)³,
+corrector with the dS_aff·dΛ_aff complementarity correction, and
+fraction-to-boundary steps γ = 0.99995.
+
+Selected via ``LPSolver(..., algorithm="pd")`` / ``QPSolver(...,
+algorithm="pd")``; the default remains the reference-parity barrier.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .kkt import (mixed_posdef_factor_solve, mixed_posdef_prepare,
+                  robust_cholesky, chol_solve)
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+# Fraction-to-boundary: keep (s, λ) strictly positive.
+_GAMMA = 0.99995
+# Declare a stall when neither the primal nor dual step moves.
+_STALL_STEP = 1e-10
+
+
+class PDResult(NamedTuple):
+    z: jax.Array          # primal iterate (reduced space)
+    lam: jax.Array        # inequality multipliers, order matching C's rows
+    s: jax.Array          # primal slacks d − Cz (up to the residual rp)
+    iters: jax.Array      # iterations taken
+    converged: jax.Array  # bool: gap + feasibility tolerances met
+    gap: jax.Array        # final complementarity gap sᵀλ
+    rp_norm: jax.Array    # ‖Cz + s − d‖∞
+    rd_norm: jax.Array    # ‖Pz + q + Cᵀλ‖∞
+
+
+def _max_step(v, dv):
+    """Largest α ∈ (0, 1] with v + α·dv ≥ 0 (v > 0 elementwise)."""
+    ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+    return jnp.minimum(1.0, jnp.min(ratio))
+
+
+def pd_solve(prob, z0, cfg, max_iters: int = 60) -> PDResult:
+    """Run the predictor-corrector solve on an inequality-form problem
+    pytree (reduced LPProblem/QPProblem: ``C``/``d`` plus ``c`` or
+    ``P``/``q``).  Jit-compatible; returns a :class:`PDResult`."""
+    C, d = prob.C, prob.d
+    P = getattr(prob, "P", None)
+    if P is not None:
+        q = prob.q if prob.q is not None else jnp.zeros_like(z0)
+    else:
+        q = prob.c
+    dtype = C.dtype
+    k = C.shape[0]
+    mixed = bool(cfg.mixed_precision) and dtype == jnp.float64
+
+    z0 = z0.astype(dtype)
+    # Infeasible start: keep s = d − Cz where comfortably positive, floor
+    # the rest (the floored rows carry a primal residual the iteration
+    # drives out geometrically — no phase-one needed).
+    s_hat = d - C @ z0
+    floor = 1e-4 * (1.0 + jnp.max(jnp.abs(d)))
+    s0 = jnp.maximum(s_hat, floor)
+    lam0 = jnp.clip(1.0 / s0, 1e-6, 1e6)
+
+    gap_tol = jnp.asarray(cfg.epsilon, dtype)
+    # Feasibility tolerances (relative): PD residuals contract by (1−α)
+    # per step, so they reach these levels within the iterations that
+    # close the gap; tied to epsilon so loose solves stay cheap.
+    feas_tol = jnp.maximum(1e-9, jnp.minimum(1e-6, gap_tol))
+    d_scale = 1.0 + jnp.max(jnp.abs(d))
+    q_scale = 1.0 + jnp.max(jnp.abs(q))
+
+    def residuals(z, s, lam):
+        rd = q + C.T @ lam
+        if P is not None:
+            rd = rd + P @ z
+        rp = C @ z + s - d
+        return rd, rp
+
+    def solve_fn(H):
+        if mixed:
+            fac = mixed_posdef_prepare(H)
+            return lambda rhs: mixed_posdef_factor_solve(fac, rhs)
+        L = robust_cholesky(H)
+        return lambda rhs: chol_solve(L, rhs)
+
+    def body(st):
+        z, s, lam, it, *_ = st
+        rd, rp = residuals(z, s, lam)
+        w = lam / s
+        H = jnp.matmul(C.T * w[None, :], C, precision=_HIGHEST)
+        if P is not None:
+            H = H + P
+        solve = solve_fn(H)
+
+        def direction(rc):
+            rhs = -rd + C.T @ ((rc - lam * rp) / s)
+            dz = solve(rhs)
+            ds = -rp - C @ dz
+            dlam = (-rc - lam * ds) / s
+            return dz, ds, dlam
+
+        mu = jnp.dot(s, lam) / k
+        # predictor (affine scaling, σ = 0)
+        dz_a, ds_a, dl_a = direction(s * lam)
+        ap_a = _max_step(s, ds_a)
+        ad_a = _max_step(lam, dl_a)
+        mu_aff = jnp.dot(s + ap_a * ds_a, lam + ad_a * dl_a) / k
+        sigma = jnp.clip((mu_aff / mu) ** 3, 0.0, 1.0)
+        # corrector (same factorization)
+        rc = s * lam - sigma * mu + ds_a * dl_a
+        dz, ds, dlam = direction(rc)
+        ap = jnp.minimum(1.0, _GAMMA * _max_step(s, ds))
+        ad = jnp.minimum(1.0, _GAMMA * _max_step(lam, dlam))
+
+        z2 = z + ap * dz
+        s2 = s + ap * ds
+        lam2 = lam + ad * dlam
+        rd2, rp2 = residuals(z2, s2, lam2)
+        gap2 = jnp.dot(s2, lam2)
+        stalled = (ap < _STALL_STEP) & (ad < _STALL_STEP)
+        return (z2, s2, lam2, it + 1, gap2,
+                jnp.max(jnp.abs(rp2)), jnp.max(jnp.abs(rd2)), stalled)
+
+    def cond(st):
+        _, _, _, it, gap, rpn, rdn, stalled = st
+        done = ((gap < gap_tol) & (rpn < feas_tol * d_scale)
+                & (rdn < feas_tol * q_scale))
+        return (it < max_iters) & ~done & ~stalled & jnp.isfinite(gap)
+
+    rd0, rp0 = residuals(z0, s0, lam0)
+    st0 = (z0, s0, lam0, jnp.zeros((), jnp.int32), jnp.dot(s0, lam0),
+           jnp.max(jnp.abs(rp0)), jnp.max(jnp.abs(rd0)),
+           jnp.zeros((), bool))
+    z, s, lam, it, gap, rpn, rdn, _ = lax.while_loop(cond, body, st0)
+    converged = ((gap < gap_tol) & (rpn < feas_tol * d_scale)
+                 & (rdn < feas_tol * q_scale))
+    return PDResult(z=z, lam=lam, s=s, iters=it, converged=converged,
+                    gap=gap, rp_norm=rpn, rd_norm=rdn)

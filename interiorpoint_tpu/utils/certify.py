@@ -59,11 +59,13 @@ class Certificate:
     polished: bool
 
     def ok(self, tol: float = 1e-6, gap_tol: Optional[float] = None) -> bool:
-        """True when the iterate is a tol-accurate KKT point: strictly
-        feasible, stationary and equality-feasible to ``tol``
+        """True when the iterate is a tol-accurate KKT point: primal
+        feasible to ``tol``, stationary and equality-feasible to ``tol``
         (relative), complementarity below ``tol``, duality gap below
-        ``gap_tol`` (defaults to ``tol``)."""
-        return (self.min_slack > 0
+        ``gap_tol`` (defaults to ``tol``).  Barrier iterates are strictly
+        interior (min_slack > 0); primal-dual (algorithm="pd") solutions
+        legitimately sit ON active constraints to rounding, hence ≥ −tol."""
+        return (self.min_slack >= -tol
                 and self.stationarity <= tol
                 and self.eq_residual <= tol
                 and self.complementarity <= tol

@@ -1,0 +1,175 @@
+"""Primal-dual Mehrotra engine (ops/pd.py, ``algorithm="pd"``).
+
+New capability beyond the reference (barrier-only; reference:
+LPSolver.py:514-653): validated here against HiGHS / the barrier path /
+the KKT certificate, including the no-phase-one infeasible-start
+property and the checkpoint/certify surface compatibility."""
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+from interiorpoint_tpu import LPSolver, QPSolver, certify
+
+# (n, m_eq, k_ineq, lb?, ub?) — structural edge cases as in test_fuzz.py
+SHAPES = [
+    (2, 1, 0, True, True),
+    (3, 0, 0, True, True),        # box-only
+    (4, 2, 3, False, True),       # upper bound only
+    (5, 3, 1, True, True),
+    (6, 0, 8, False, True),
+    (8, 2, 0, True, False),
+]
+
+
+def _gen_lp(n, m, k, has_lb, has_ub, seed):
+    """Bounded-by-duality LP (same recipe as test_fuzz.py)."""
+    rng = np.random.default_rng(seed)
+    A = rng.uniform(-2, 2, (m, n)) if m else None
+    C = rng.uniform(-2, 2, (k, n)) if k else None
+    xf = rng.uniform(-0.5, 0.5, n)
+    b = A @ xf if m else None
+    d = C @ xf + rng.uniform(0.2, 1.0, k) if k else None
+    lam = rng.uniform(0.1, 1.0, k) if k else np.zeros(0)
+    mu_lb = rng.uniform(0.1, 1.0, n) if has_lb else np.zeros(n)
+    mu_ub = rng.uniform(0.1, 1.0, n) if has_ub else np.zeros(n)
+    v = rng.uniform(-1, 1, m) if m else np.zeros(0)
+    c = mu_lb - mu_ub
+    if k:
+        c -= C.T @ lam
+    if m:
+        c -= A.T @ v
+    return dict(c=c, A=A, b=b, C=C, d=d,
+                lb=(-2.0 if has_lb else None),
+                ub=(2.0 if has_ub else None)), xf
+
+
+@pytest.mark.parametrize("n,m,k,has_lb,has_ub", SHAPES)
+def test_pd_lp_shape_sweep(n, m, k, has_lb, has_ub):
+    p, xf = _gen_lp(n, m, k, has_lb, has_ub, seed=4000 + n * 13 + k)
+    ref = linprog(p["c"], A_ub=p["C"], b_ub=p["d"], A_eq=p["A"],
+                  b_eq=p["b"], bounds=[(p["lb"], p["ub"])] * n,
+                  method="highs")
+    assert ref.status == 0
+    s = LPSolver(c=p["c"], A=p["A"], b=p["b"], C=p["C"], d=p["d"],
+                 lower_bound=p["lb"] if has_lb else -np.inf,
+                 upper_bound=p["ub"],
+                 suppress_print=True, check_cvxpy=False, epsilon=1e-9,
+                 x0=xf, algorithm="pd")
+    val = s.solve()
+    assert val == pytest.approx(ref.fun, rel=2e-8, abs=2e-8)
+    assert certify(s).ok(1e-6)
+
+
+def test_pd_lp_matches_barrier_and_is_cheaper():
+    """Benchmark-recipe LP: pd agrees with the barrier optimum and takes
+    far fewer factorizations (the selling point)."""
+    rng = np.random.default_rng(1)
+    n, m, k = 200, 160, 40
+    A = rng.uniform(-2, 2, (m, n))
+    C = rng.uniform(-2, 2, (k, n))
+    xf = rng.uniform(-2, 2, n)
+    c = rng.uniform(-2, 2, n)
+    kw = dict(c=c, A=A, b=A @ xf, C=C, d=C @ xf, lower_bound=-3,
+              upper_bound=3, suppress_print=True, check_cvxpy=False,
+              epsilon=1e-8)
+    pd = LPSolver(algorithm="pd", **kw)
+    vpd = pd.solve()
+    bar = LPSolver(**kw)
+    vbar = bar.solve()
+    assert vpd == pytest.approx(vbar, rel=1e-7)
+    assert certify(pd).ok(1e-5)
+    # pd iterations ≲ half the barrier's Newton steps
+    assert pd.outer_iters * 2 < sum(bar.inner_iters)
+
+
+def test_pd_qp_duals_and_certificate():
+    rng = np.random.default_rng(5)
+    n, m, k = 40, 15, 10
+    A = rng.uniform(-2, 2, (m, n))
+    C = rng.uniform(-2, 2, (k, n))
+    xf = rng.uniform(-1, 1, n)
+    Pm = rng.uniform(-1, 1, (m, n))
+    P = Pm.T @ Pm + np.eye(n)
+    q = rng.uniform(-1, 1, n)
+    s = QPSolver(P=P, q=q, A=A, b=A @ xf, C=C, d=C @ xf + 0.5,
+                 lower_bound=-3, upper_bound=3, suppress_print=True,
+                 check_cvxpy=False, epsilon=1e-10,
+                 get_dual_variables=True, algorithm="pd")
+    s.solve()
+    assert certify(s).ok(1e-6)
+    # the PD duals satisfy stationarity directly (no 1/(t·s) inexactness)
+    lam = s.lam_star
+    g = (P @ s.xstar + q + C.T @ lam[:k] + lam[k:k + n]
+         - lam[k + n:] + A.T @ s.v_star)
+    assert np.abs(g).max() < 1e-7
+    assert (lam >= 0).all()
+
+
+def test_pd_infeasible_start_needs_no_phase1():
+    """An x0 violating Cx ≤ d routes the barrier through phase one; pd
+    absorbs it as a primal residual and still converges."""
+    rng = np.random.default_rng(9)
+    n, m, k = 50, 20, 15
+    A = rng.uniform(-2, 2, (m, n))
+    C = rng.uniform(-2, 2, (k, n))
+    xf = rng.uniform(-1, 1, n)
+    c = rng.uniform(-2, 2, n)
+    b, d = A @ xf, C @ xf + 0.3
+    xbad = np.clip(xf + rng.uniform(-2, 2, n), -2.9, 2.9)
+    assert (C @ xbad > d).any()
+    ref = linprog(c, A_ub=C, b_ub=d, A_eq=A, b_eq=b,
+                  bounds=[(-3, 3)] * n, method="highs")
+    s = LPSolver(c=c, A=A, b=b, C=C, d=d, lower_bound=-3, upper_bound=3,
+                 suppress_print=True, check_cvxpy=False, epsilon=1e-9,
+                 algorithm="pd")
+    val = s.solve(x0=xbad)
+    assert val == pytest.approx(ref.fun, rel=1e-7)
+    assert s.last_metrics["phase1_ran"] is False
+
+
+def test_pd_checkpoint_and_warm_solve_surface():
+    """save_state/warm_solve work from a pd solve: _result.t carries the
+    equivalent barrier parameter m/gap.  The realistic resume flow is a
+    LOOSE pd solve refined by a barrier warm start (a fully converged pd
+    iterate sits on the boundary, outside the barrier's domain)."""
+    from interiorpoint_tpu.utils import checkpoint
+
+    rng = np.random.default_rng(11)
+    n, k = 30, 12
+    C = rng.uniform(-2, 2, (k, n))
+    xf = rng.uniform(-1, 1, n)
+    c = -C.T @ rng.uniform(0.1, 1.0, k)
+    d = C @ xf + 0.5
+    s = LPSolver(c=c, C=C, d=d, lower_bound=-2, upper_bound=2,
+                 suppress_print=True, check_cvxpy=False, epsilon=1e-3,
+                 algorithm="pd")
+    v1 = s.solve()
+    tight = LPSolver(c=c, C=C, d=d, lower_bound=-2, upper_bound=2,
+                     suppress_print=True, check_cvxpy=False, epsilon=1e-9,
+                     algorithm="pd")
+    vstar = tight.solve()
+    assert v1 == pytest.approx(vstar, abs=2e-3)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "pd.npz")
+        checkpoint.save_state(path, s)
+        state = checkpoint.load_state(path)
+        m_ineq = k + 2 * n
+        assert state["t"] >= m_ineq / 1e-3 * 0.99   # t = m/gap
+        bar = LPSolver(c=c, C=C, d=d, lower_bound=-2, upper_bound=2,
+                       suppress_print=True, check_cvxpy=False,
+                       epsilon=1e-9)
+        v2 = checkpoint.warm_solve(bar, state)
+    assert v2 == pytest.approx(vstar, rel=1e-6, abs=1e-6)
+
+
+def test_pd_rejects_bad_algorithm_and_unconstrained():
+    with pytest.raises(ValueError, match="algorithm"):
+        LPSolver(c=np.ones(3), C=np.eye(3), d=np.ones(3),
+                 lower_bound=None, suppress_print=True, check_cvxpy=False,
+                 algorithm="simplex")
+    s = LPSolver(c=np.ones(3), A=np.ones((1, 3)), b=np.zeros(1),
+                 lower_bound=None, suppress_print=True,
+                 check_cvxpy=False, algorithm="pd")
+    with pytest.raises(ValueError, match="pd"):
+        s.solve()
