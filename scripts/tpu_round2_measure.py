@@ -62,6 +62,29 @@ def main():
             "vs_baseline": (round(baseline / mean_s, 3)
                             if baseline else None)}), flush=True)
 
+    # primal-dual Mehrotra engine (ops/pd.py) at the headline shapes —
+    # expected to dominate at large n where the barrier runs staged
+    for suite, n, reps in ([] if QUICK else
+                           [("lp", 1000, 3), ("lp", 5000, 2),
+                            ("qp", 1000, 3), ("qp", 5000, 2)]):
+        t0 = time.time()
+        try:
+            mean_s, times, val, note = FNS[suite](n, reps, "float64",
+                                                  algorithm="pd")
+        except Exception as e:
+            print(f"# {suite}-pd n={n} FAILED after {time.time()-t0:.0f}s: "
+                  f"{e!r}", flush=True)
+            continue
+        baseline = bench.BASELINES[suite].get(n)
+        print(f"# {suite}-pd n={n}: wall {time.time()-t0:.0f}s "
+              f"obj {val:.8f} {note} times "
+              f"{['%.3f' % t for t in times]}", flush=True)
+        print(json.dumps({
+            "metric": f"{suite}_n{n}_pd_solve_seconds",
+            "value": round(mean_s, 4), "unit": "s",
+            "vs_baseline": (round(baseline / mean_s, 3)
+                            if baseline else None)}), flush=True)
+
     # roofline: achieved fused-step FLOP/s vs v5e peak (BASELINE.md:89)
     for suite, n in ([] if QUICK else
                      [("lp", 1000), ("lp", 3000), ("lp", 5000),
