@@ -91,11 +91,12 @@ def _barrier_core(prob, A, b, x0, t0, cfg, oracle_fn, p1_oracle_fn,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _pd_core(prob, z0, cfg):
+def _pd_core(prob, z0, cfg, A=None, b=None):
     """Single jitted entry for a primal-dual Mehrotra solve (ops/pd.py) on
-    an inequality-form (reduced) problem pytree."""
+    an inequality-form problem pytree, optionally with an equality pair
+    (the full-space fallback when the null-space reduction is absent)."""
     from ..ops.pd import pd_solve
-    return pd_solve(prob, z0, cfg)
+    return pd_solve(prob, z0, cfg, A=A, b=b)
 
 
 # ---------------------------------------------------------------------------
@@ -532,7 +533,8 @@ class BarrierDriver:
         from types import SimpleNamespace
 
         dtype = cfg.jnp_dtype
-        A, _ = self._eq
+        A, b_eq = self._eq
+        eq_pair = (None, None)
 
         if self._reduced is not None:
             rf = self._reduced
@@ -548,12 +550,9 @@ class BarrierDriver:
                 z0 = self._default_z0()
             expand = rf.expand
         else:
-            if A is not None:
-                raise ValueError(
-                    "algorithm='pd' on an equality-constrained problem "
-                    "needs the null-space elimination, which failed for "
-                    "this A (rank-deficient?); use the default barrier "
-                    "algorithm")
+            # Full-space path: bounds stacked into C; equalities (when the
+            # reduction is unavailable) handled by pd_solve's Schur block
+            # elimination directly.
             from .problem import LPProblem, QPProblem
             from .reduced import _reduced_ineq_block
 
@@ -571,6 +570,8 @@ class BarrierDriver:
                 pprob = LPProblem(c=self._prob.c, C=C_z, d=d_z)
             z0 = jnp.asarray(x0, dtype=dtype)
             expand = lambda z: z  # noqa: E731
+            if A is not None:
+                eq_pair = (A, b_eq)
 
         # Drop vacuous rows (±inf bounds kept as vectors reach here as
         # d = +inf): they carry no constraint force but would poison the
@@ -588,7 +589,7 @@ class BarrierDriver:
             pprob = dataclasses.replace(
                 pprob, C=pprob.C[idx, :], d=pprob.d[idx])
 
-        res = _pd_core(pprob, z0, cfg)
+        res = _pd_core(pprob, z0, cfg, A=eq_pair[0], b=eq_pair[1])
         x_full = expand(res.z)
         res, x_full = jax.device_get((res, x_full))
         if not finite_rows.all():
@@ -623,7 +624,11 @@ class BarrierDriver:
         if self.get_dual_variables:
             lam = np.asarray(res.lam, dtype=np.float64)
             self.lam_star = lam  # order [Cx≤d, ub, lb] = slack order
-            if A is not None:
+            if eq_pair[0] is not None:
+                # full-space path: pd carries the equality dual directly
+                self.v_star = np.asarray(res.v, dtype=np.float64)
+                self.vstar = self.v_star
+            elif A is not None:
                 # stationarity-consistent equality dual:
                 # ∇f + Cᵀλ_C + λ_ub − λ_lb + Aᵀv = 0
                 from ..ops.nullspace import recover_equality_dual

@@ -52,14 +52,15 @@ _STALL_STEP = 1e-10
 
 
 class PDResult(NamedTuple):
-    z: jax.Array          # primal iterate (reduced space)
+    z: jax.Array          # primal iterate (reduced or full space)
     lam: jax.Array        # inequality multipliers, order matching C's rows
     s: jax.Array          # primal slacks d − Cz (up to the residual rp)
+    v: jax.Array          # equality multipliers (zeros(0) when no A)
     iters: jax.Array      # iterations taken
     converged: jax.Array  # bool: gap + feasibility tolerances met
     gap: jax.Array        # final complementarity gap sᵀλ
-    rp_norm: jax.Array    # ‖Cz + s − d‖∞
-    rd_norm: jax.Array    # ‖Pz + q + Cᵀλ‖∞
+    rp_norm: jax.Array    # ‖Cz + s − d‖∞ (∨ ‖Az − b‖∞ when A given)
+    rd_norm: jax.Array    # ‖Pz + q + Cᵀλ + Aᵀv‖∞
 
 
 def _max_step(v, dv):
@@ -68,10 +69,14 @@ def _max_step(v, dv):
     return jnp.minimum(1.0, jnp.min(ratio))
 
 
-def pd_solve(prob, z0, cfg, max_iters: int = 60) -> PDResult:
+def pd_solve(prob, z0, cfg, max_iters: int = 60, A=None, b=None) -> PDResult:
     """Run the predictor-corrector solve on an inequality-form problem
-    pytree (reduced LPProblem/QPProblem: ``C``/``d`` plus ``c`` or
-    ``P``/``q``).  Jit-compatible; returns a :class:`PDResult`."""
+    pytree (LPProblem/QPProblem: ``C``/``d`` plus ``c`` or ``P``/``q``),
+    optionally with an equality pair ``A x = b`` handled by the same
+    Schur block elimination the Newton engines use (ops/kkt.py:
+    H·Y = Aᵀ, S = A·H⁻¹Aᵀ) — the H and S factorizations are built once
+    per iteration and reused across the predictor and corrector.
+    Jit-compatible (also under vmap); returns a :class:`PDResult`."""
     C, d = prob.C, prob.d
     P = getattr(prob, "P", None)
     if P is not None:
@@ -80,6 +85,7 @@ def pd_solve(prob, z0, cfg, max_iters: int = 60) -> PDResult:
         q = prob.c
     dtype = C.dtype
     k = C.shape[0]
+    has_eq = A is not None
     mixed = bool(cfg.mixed_precision) and dtype == jnp.float64
 
     z0 = z0.astype(dtype)
@@ -90,6 +96,7 @@ def pd_solve(prob, z0, cfg, max_iters: int = 60) -> PDResult:
     floor = 1e-4 * (1.0 + jnp.max(jnp.abs(d)))
     s0 = jnp.maximum(s_hat, floor)
     lam0 = jnp.clip(1.0 / s0, 1e-6, 1e6)
+    v0 = jnp.zeros(A.shape[0] if has_eq else 0, dtype=dtype)
 
     gap_tol = jnp.asarray(cfg.epsilon, dtype)
     # Feasibility tolerances (relative): PD residuals contract by (1−α)
@@ -97,16 +104,21 @@ def pd_solve(prob, z0, cfg, max_iters: int = 60) -> PDResult:
     # close the gap; tied to epsilon so loose solves stay cheap.
     feas_tol = jnp.maximum(1e-9, jnp.minimum(1e-6, gap_tol))
     d_scale = 1.0 + jnp.max(jnp.abs(d))
+    if has_eq:
+        d_scale = jnp.maximum(d_scale, 1.0 + jnp.max(jnp.abs(b)))
     q_scale = 1.0 + jnp.max(jnp.abs(q))
 
-    def residuals(z, s, lam):
+    def residuals(z, s, lam, v):
         rd = q + C.T @ lam
         if P is not None:
             rd = rd + P @ z
+        if has_eq:
+            rd = rd + A.T @ v
         rp = C @ z + s - d
-        return rd, rp
+        rpe = (A @ z - b) if has_eq else jnp.zeros(0, dtype=dtype)
+        return rd, rp, rpe
 
-    def solve_fn(H):
+    def prepare(H):
         if mixed:
             fac = mixed_posdef_prepare(H)
             return lambda rhs: mixed_posdef_factor_solve(fac, rhs)
@@ -114,55 +126,73 @@ def pd_solve(prob, z0, cfg, max_iters: int = 60) -> PDResult:
         return lambda rhs: chol_solve(L, rhs)
 
     def body(st):
-        z, s, lam, it, *_ = st
-        rd, rp = residuals(z, s, lam)
+        z, s, lam, v, it, *_ = st
+        rd, rp, rpe = residuals(z, s, lam, v)
         w = lam / s
         H = jnp.matmul(C.T * w[None, :], C, precision=_HIGHEST)
         if P is not None:
             H = H + P
-        solve = solve_fn(H)
+        solve_h = prepare(H)
+        if has_eq:
+            Hinv_AT = solve_h(A.T)
+            S = A @ Hinv_AT
+            solve_s = prepare(0.5 * (S + S.T))
 
         def direction(rc):
             rhs = -rd + C.T @ ((rc - lam * rp) / s)
-            dz = solve(rhs)
+            if has_eq:
+                # H dz + Aᵀ dv = rhs, A dz = −rpe  ⇒  S dv = A H⁻¹rhs + rpe
+                t1 = solve_h(rhs)
+                dv = solve_s(A @ t1 + rpe)
+                dz = t1 - Hinv_AT @ dv
+            else:
+                dv = jnp.zeros(0, dtype=dtype)
+                dz = solve_h(rhs)
             ds = -rp - C @ dz
             dlam = (-rc - lam * ds) / s
-            return dz, ds, dlam
+            return dz, ds, dlam, dv
 
         mu = jnp.dot(s, lam) / k
         # predictor (affine scaling, σ = 0)
-        dz_a, ds_a, dl_a = direction(s * lam)
+        dz_a, ds_a, dl_a, _ = direction(s * lam)
         ap_a = _max_step(s, ds_a)
         ad_a = _max_step(lam, dl_a)
         mu_aff = jnp.dot(s + ap_a * ds_a, lam + ad_a * dl_a) / k
         sigma = jnp.clip((mu_aff / mu) ** 3, 0.0, 1.0)
-        # corrector (same factorization)
+        # corrector (same factorizations)
         rc = s * lam - sigma * mu + ds_a * dl_a
-        dz, ds, dlam = direction(rc)
+        dz, ds, dlam, dv = direction(rc)
         ap = jnp.minimum(1.0, _GAMMA * _max_step(s, ds))
         ad = jnp.minimum(1.0, _GAMMA * _max_step(lam, dlam))
 
         z2 = z + ap * dz
         s2 = s + ap * ds
         lam2 = lam + ad * dlam
-        rd2, rp2 = residuals(z2, s2, lam2)
+        v2 = v + ad * dv
+        rd2, rp2, rpe2 = residuals(z2, s2, lam2, v2)
         gap2 = jnp.dot(s2, lam2)
+        rpn2 = jnp.max(jnp.abs(rp2))
+        if has_eq:
+            rpn2 = jnp.maximum(rpn2, jnp.max(jnp.abs(rpe2)))
         stalled = (ap < _STALL_STEP) & (ad < _STALL_STEP)
-        return (z2, s2, lam2, it + 1, gap2,
-                jnp.max(jnp.abs(rp2)), jnp.max(jnp.abs(rd2)), stalled)
+        return (z2, s2, lam2, v2, it + 1, gap2,
+                rpn2, jnp.max(jnp.abs(rd2)), stalled)
 
     def cond(st):
-        _, _, _, it, gap, rpn, rdn, stalled = st
+        _, _, _, _, it, gap, rpn, rdn, stalled = st
         done = ((gap < gap_tol) & (rpn < feas_tol * d_scale)
                 & (rdn < feas_tol * q_scale))
         return (it < max_iters) & ~done & ~stalled & jnp.isfinite(gap)
 
-    rd0, rp0 = residuals(z0, s0, lam0)
-    st0 = (z0, s0, lam0, jnp.zeros((), jnp.int32), jnp.dot(s0, lam0),
-           jnp.max(jnp.abs(rp0)), jnp.max(jnp.abs(rd0)),
+    rd0, rp0, rpe0 = residuals(z0, s0, lam0, v0)
+    rpn0 = jnp.max(jnp.abs(rp0))
+    if has_eq:
+        rpn0 = jnp.maximum(rpn0, jnp.max(jnp.abs(rpe0)))
+    st0 = (z0, s0, lam0, v0, jnp.zeros((), jnp.int32),
+           jnp.dot(s0, lam0), rpn0, jnp.max(jnp.abs(rd0)),
            jnp.zeros((), bool))
-    z, s, lam, it, gap, rpn, rdn, _ = lax.while_loop(cond, body, st0)
+    z, s, lam, v, it, gap, rpn, rdn, _ = lax.while_loop(cond, body, st0)
     converged = ((gap < gap_tol) & (rpn < feas_tol * d_scale)
                  & (rdn < feas_tol * q_scale))
-    return PDResult(z=z, lam=lam, s=s, iters=it, converged=converged,
+    return PDResult(z=z, lam=lam, s=s, v=v, iters=it, converged=converged,
                     gap=gap, rp_norm=rpn, rd_norm=rdn)

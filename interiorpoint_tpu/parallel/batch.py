@@ -52,10 +52,33 @@ def _single_socp(prob, x0, t0, cfg, num_constraints, eq_gate, use_phase1):
 
 
 
+def _single_pd(prob, x0, cfg, kind):
+    """Per-instance primal-dual Mehrotra solve (ops/pd.py) in full space:
+    bounds stacked into the inequality block, equalities via the Schur
+    elimination inside pd_solve.  No phase one needed."""
+    from ..models.reduced import _reduced_ineq_block
+    from ..ops.pd import pd_solve
+
+    n = x0.shape[-1]
+    eye = jnp.eye(n, dtype=x0.dtype)
+    xp = jnp.zeros(n, dtype=x0.dtype)
+    C_z, d_z = _reduced_ineq_block(prob, eye, xp)
+    if C_z is None:
+        raise ValueError("algorithm='pd' requires inequalities or bounds")
+    if kind == "qp":
+        pprob = QPProblem(P=prob.P, q=prob.q, C=C_z, d=d_z)
+    else:
+        pprob = LPProblem(c=prob.c, C=C_z, d=d_z)
+    return pd_solve(pprob, x0, cfg, A=prob.A, b=prob.b)
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_constraints", "eq_gate",
-                                   "use_phase1", "kind"))
+                                   "use_phase1", "kind", "algorithm"))
 def _batch_core(prob_batch, x0_batch, t0, cfg, num_constraints, eq_gate,
-                use_phase1, kind):
+                use_phase1, kind, algorithm="barrier"):
+    if algorithm == "pd":
+        fn = lambda p, x: _single_pd(p, x, cfg, kind)
+        return jax.vmap(fn)(prob_batch, x0_batch)
     single = {"lp": _single_lp, "qp": _single_qp,
               "socp": _single_socp}[kind]
     # Batched solves use the fused Pallas Newton kernel when the engine's
@@ -68,18 +91,23 @@ def _batch_core(prob_batch, x0_batch, t0, cfg, num_constraints, eq_gate,
     return jax.vmap(fn)(prob_batch, x0_batch)
 
 
-def solve_batch(prob_batch, x0_batch, cfg, mesh=None, axis="batch"):
+def solve_batch(prob_batch, x0_batch, cfg, mesh=None, axis="batch",
+                algorithm="barrier"):
     """Solve a batch of same-shaped LP/QP/SOCP instances in parallel.
 
     Args:
       prob_batch: LPProblem/QPProblem/SOCPProblem pytree whose array
         leaves carry a leading batch dimension (stack instances with
         ``stack_problems``; SOCP cone tensors become (B, K, M, n)).
-      x0_batch: (B, n) strictly-interior starting points.
+      x0_batch: (B, n) starting points (strictly interior for the
+        barrier; ``algorithm="pd"`` accepts infeasible starts).
       mesh: optional Mesh; the batch axis is sharded across ``axis`` so
         each chip solves its shard of instances (dp over problems).
+      algorithm: "barrier" (default) or "pd" — the primal-dual Mehrotra
+        engine (LP/QP only; bounds must be finite, no phase one runs).
 
-    Returns an IPMResult pytree with a leading batch dimension.
+    Returns an IPMResult pytree with a leading batch dimension
+    ("barrier") or a PDResult pytree ("pd").
     """
     if isinstance(prob_batch, SOCPProblem):
         kind = "socp"
@@ -87,6 +115,8 @@ def solve_batch(prob_batch, x0_batch, cfg, mesh=None, axis="batch"):
         kind = "qp"
     else:
         kind = "lp"
+    if algorithm == "pd" and kind == "socp":
+        raise ValueError("algorithm='pd' supports LP/QP batches only")
     if cfg.allow_stream:
         # resident-mode vmap-of-pallas is hardware-validated
         # (scripts/tpu_vmap_pallas_check.py); the streaming kernel's
@@ -109,7 +139,7 @@ def solve_batch(prob_batch, x0_batch, cfg, mesh=None, axis="batch"):
     return _batch_core(prob_batch, x0_batch,
                        jnp.asarray(cfg.t0, dtype=dtype), cfg,
                        int(num_constraints), float(eq_gate),
-                       bool(use_phase1), kind)
+                       bool(use_phase1), kind, algorithm)
 
 
 def solve_lasso_sharded(A, b, reg, cfg, mesh, axis="batch"):

@@ -163,6 +163,76 @@ def test_pd_checkpoint_and_warm_solve_surface():
     assert v2 == pytest.approx(vstar, rel=1e-6, abs=1e-6)
 
 
+def test_pd_full_space_equality_path():
+    """pd_solve's in-engine Schur elimination (A, b passed directly, no
+    null-space reduction) must match the reduced-path driver solve."""
+    import jax.numpy as jnp
+    from interiorpoint_tpu.models.problem import LPProblem
+    from interiorpoint_tpu.models.reduced import _reduced_ineq_block
+    from interiorpoint_tpu.ops.pd import pd_solve
+    from interiorpoint_tpu.utils.config import SolverConfig
+
+    rng = np.random.default_rng(21)
+    n, m, k = 30, 10, 12
+    A = rng.uniform(-2, 2, (m, n))
+    C = rng.uniform(-2, 2, (k, n))
+    xf = rng.uniform(-1, 1, n)
+    c = rng.uniform(-2, 2, n)
+    b, d = A @ xf, C @ xf + 0.4
+    ref = linprog(c, A_ub=C, b_ub=d, A_eq=A, b_eq=b,
+                  bounds=[(-3, 3)] * n, method="highs")
+    prob = LPProblem(c=jnp.asarray(c), A=jnp.asarray(A), b=jnp.asarray(b),
+                     C=jnp.asarray(C), d=jnp.asarray(d),
+                     lb=jnp.full(n, -3.0), ub=jnp.full(n, 3.0))
+    eye = jnp.eye(n, dtype=jnp.float64)
+    C_z, d_z = _reduced_ineq_block(prob, eye, jnp.zeros(n))
+    iprob = LPProblem(c=prob.c, C=C_z, d=d_z)
+    cfg = SolverConfig(dtype="float64", epsilon=1e-9)
+    res = pd_solve(iprob, jnp.asarray(xf), cfg, A=prob.A, b=prob.b)
+    assert bool(res.converged)
+    val = float(c @ np.asarray(res.z))
+    assert val == pytest.approx(ref.fun, rel=1e-8)
+    assert float(np.abs(A @ np.asarray(res.z) - b).max()) < 1e-8
+    # equality dual from the engine satisfies stationarity
+    lam = np.asarray(res.lam)
+    g = (c + C.T @ lam[:k] + lam[k:k + n] - lam[k + n:]
+         + A.T @ np.asarray(res.v))
+    assert np.abs(g).max() < 1e-6
+
+
+def test_pd_batched_solves_match_scipy():
+    """solve_batch(algorithm='pd') on the 8-device mesh: every instance
+    matches its own HiGHS optimum (full-space pd under vmap + sharding)."""
+    import jax.numpy as jnp
+    from interiorpoint_tpu.models.problem import make_lp
+    from interiorpoint_tpu.parallel.batch import solve_batch, stack_problems
+    from interiorpoint_tpu.parallel.mesh import make_mesh
+    from interiorpoint_tpu.utils.config import SolverConfig
+
+    mesh = make_mesh(8, ("batch",))
+    probs, x0s, refs = [], [], []
+    for i in range(8):
+        rng = np.random.default_rng(600 + i)
+        n, m, k = 16, 5, 8
+        A = rng.uniform(-2, 2, (m, n))
+        C = rng.uniform(-2, 2, (k, n))
+        xf = rng.uniform(-1, 1, n)
+        c = rng.uniform(-2, 2, n)
+        b, d = A @ xf, C @ xf + 0.3
+        probs.append(make_lp(c, A, b, C, d, -3.0, 3.0))
+        x0s.append(xf)
+        refs.append(linprog(c, A_ub=C, b_ub=d, A_eq=A, b_eq=b,
+                            bounds=[(-3, 3)] * n, method="highs").fun)
+    batch = stack_problems(probs)
+    cfg = SolverConfig(dtype="float64", epsilon=1e-9)
+    res = solve_batch(batch, jnp.asarray(np.stack(x0s)), cfg, mesh=mesh,
+                      algorithm="pd")
+    assert bool(np.asarray(res.converged).all())
+    for i in range(8):
+        val = float(np.asarray(batch.c[i]) @ np.asarray(res.z[i]))
+        assert val == pytest.approx(refs[i], rel=1e-7, abs=1e-7), i
+
+
 def test_pd_rejects_bad_algorithm_and_unconstrained():
     with pytest.raises(ValueError, match="algorithm"):
         LPSolver(c=np.ones(3), C=np.eye(3), d=np.ones(3),
