@@ -9,6 +9,7 @@ from .batch import solve_batch, solve_lasso_sharded, stack_problems
 from .distributed import (
     initialize, row_sharded_lp_newton_step, shard_rows,
     solve_lp_row_sharded, solve_qp_row_sharded)
+from .pd_dist import solve_pd_row_sharded
 from .socp_dist import shard_cones, solve_socp_cone_sharded
 
 __all__ = [
@@ -16,5 +17,6 @@ __all__ = [
     "solve_batch", "solve_lasso_sharded", "stack_problems",
     "initialize", "row_sharded_lp_newton_step", "shard_rows",
     "solve_lp_row_sharded", "solve_qp_row_sharded",
+    "solve_pd_row_sharded",
     "shard_cones", "solve_socp_cone_sharded",
 ]

@@ -459,9 +459,16 @@ def solve_lp_row_sharded(mesh: Mesh, c, A, b, C, d, lb=None, ub=None, *,
                          distributed_factor=False,
                          factor_dtype="float64", chol_block=256,
                          phase1="auto", checkpoint_path=None,
-                         checkpoint_every=1, resume=False):
+                         checkpoint_every=1, resume=False,
+                         algorithm="barrier"):
     """Full distributed LP barrier solve with constraint rows sharded over
     the mesh: min c.x s.t. Ax = b, Cx <= d, lb <= x <= ub.
+
+    ``algorithm="pd"`` dispatches to the distributed Mehrotra
+    predictor-corrector (``parallel.pd_dist.solve_pd_row_sharded``):
+    15–40 iterations instead of the barrier's Newton-step count, no
+    phase one.  The barrier-only knobs (t0, mu, inner tolerances, line
+    search, checkpointing) do not apply there.
 
     The complete IPM (outer t-loop, infeasible-start Newton,
     residual-backtracking candidate line search) runs as ONE jitted
@@ -499,6 +506,15 @@ def solve_lp_row_sharded(mesh: Mesh, c, A, b, C, d, lb=None, ub=None, *,
     phase-1 point).  Without a checkpoint path the whole solve is ONE
     device program (zero host round-trips).
     """
+    if algorithm == "pd":
+        if checkpoint_path is not None:
+            raise ValueError("algorithm='pd' does not support mid-solve "
+                             "checkpointing (solves are 15-40 iterations)")
+        from .pd_dist import solve_pd_row_sharded
+        return solve_pd_row_sharded(
+            mesh, c, A, b, C, d, lb, ub, x0=x0, epsilon=epsilon,
+            axis=axis, distributed_factor=distributed_factor,
+            factor_dtype=factor_dtype, chol_block=chol_block)
     return _solve_row_sharded(
         mesh, None, c, A, b, C, d, lb, ub, x0=x0, t0=t0, mu=mu,
         epsilon=epsilon, inner_epsilon=inner_epsilon, alpha=alpha,
@@ -518,17 +534,29 @@ def solve_qp_row_sharded(mesh: Mesh, P_obj, c, A, b, C, d, lb=None,
                          axis: str = "rows", distributed_factor=False,
                          factor_dtype="float64", chol_block=256,
                          phase1="auto", checkpoint_path=None,
-                         checkpoint_every=1, resume=False):
+                         checkpoint_every=1, resume=False,
+                         algorithm="barrier"):
     """Distributed QP barrier solve: min ½xᵀPx + cᵀx s.t. Ax = b,
     Cx ≤ d, lb ≤ x ≤ ub, with constraint rows sharded over the mesh.
 
     Same single-program structure as ``solve_lp_row_sharded``
-    (including mid-solve checkpoint/resume); P (PSD) stays replicated —
-    it feeds the replicated H factorization, and each chip's candidate
-    sweep reuses one P·dx matvec across all J backtracking candidates.
+    (including mid-solve checkpoint/resume and the ``algorithm="pd"``
+    Mehrotra dispatch); P (PSD) stays replicated — it feeds the
+    replicated H factorization, and each chip's candidate sweep reuses
+    one P·dx matvec across all J backtracking candidates.
     (Reference QP semantics: QPSolver.py; the distribution scheme is
     new TPU-native capability.)
     """
+    if algorithm == "pd":
+        if checkpoint_path is not None:
+            raise ValueError("algorithm='pd' does not support mid-solve "
+                             "checkpointing (solves are 15-40 iterations)")
+        from .pd_dist import solve_pd_row_sharded
+        return solve_pd_row_sharded(
+            mesh, c, A, b, C, d, lb, ub, P_obj=P_obj, x0=x0,
+            epsilon=epsilon, axis=axis,
+            distributed_factor=distributed_factor,
+            factor_dtype=factor_dtype, chol_block=chol_block)
     return _solve_row_sharded(
         mesh, P_obj, c, A, b, C, d, lb, ub, x0=x0, t0=t0, mu=mu,
         epsilon=epsilon, inner_epsilon=inner_epsilon, alpha=alpha,
