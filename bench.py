@@ -88,7 +88,7 @@ def bench_qp(n, reps, dtype, algorithm="barrier"):
     return mean_s, times, solver.value, ""
 
 
-def bench_socp(n, reps, dtype):
+def bench_socp(n, reps, dtype, algorithm="barrier"):
     from interiorpoint_tpu import SOCPSolver
     from interiorpoint_tpu.utils.generators import generate_socp
 
@@ -98,7 +98,7 @@ def bench_socp(n, reps, dtype):
     solver = SOCPSolver(
         **p, suppress_print=True, check_cvxpy=False, epsilon=1e-4, mu=15,
         t0="auto", max_inner_iters=500, max_outer_iters=20, beta=0.5,
-        alpha=0.05, x0=x0, dtype=dtype)
+        alpha=0.05, x0=x0, dtype=dtype, algorithm=algorithm)
     mean_s, times = _timed_reps(solver.solve, reps)
     return mean_s, times, solver.value, ""
 
@@ -226,11 +226,11 @@ def main():
     p.add_argument("--algorithm", type=str, default="barrier",
                    choices=["barrier", "pd"],
                    help="pd = primal-dual Mehrotra predictor-corrector "
-                        "(LP/QP only; new capability beyond the "
+                        "(LP/QP/SOCP; new capability beyond the "
                         "reference's barrier method)")
     args = p.parse_args()
-    if args.algorithm == "pd" and args.suite not in ("lp", "qp"):
-        sys.exit("--algorithm pd supports lp/qp suites only")
+    if args.algorithm == "pd" and args.suite not in ("lp", "qp", "socp"):
+        sys.exit("--algorithm pd supports lp/qp/socp suites only")
 
     import jax
     if args.dtype == "float64":
@@ -266,7 +266,7 @@ def main():
 
     if args.suite != "all":
         kw = ({"algorithm": args.algorithm}
-              if args.suite in ("lp", "qp") else {})
+              if args.suite in ("lp", "qp", "socp") else {})
         mean_s, times, val, note = fns[args.suite](args.n, args.reps,
                                                    args.dtype, **kw)
         print(f"# {args.suite} n={args.n}: objective {val:.8f} {note}; "

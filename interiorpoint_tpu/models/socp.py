@@ -8,9 +8,13 @@ pair (F, g) rides the engine's (A, b) slots exactly as the reference does
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
+from ..utils import metrics
 from ..ops.socp import make_phase1_socp_oracle, make_socp_oracle, \
     socp_full_slacks
 from ..utils import oracle as oracle_check
@@ -89,6 +93,14 @@ def _normalize_socp_inputs(P, q, A, b, c, d, F, g, lb, ub):
     return P, q, A, b, c, d, F, g, n
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _socp_pd_core(G, h, q, x0, cfg, P=None, F=None, g=None, lb=None,
+                  ub=None):
+    """Single jitted entry for the conic Mehrotra solve (ops/socp_pd.py)."""
+    from ..ops.socp_pd import socp_pd_solve
+    return socp_pd_solve(G, h, q, x0, cfg, P=P, F=F, g=g, lb=lb, ub=ub)
+
+
 class SOCPSolver(BarrierDriver):
     """Drop-in analogue of the reference SOCPSolver
     (reference: SOCPSolver.py:18)."""
@@ -104,7 +116,7 @@ class SOCPSolver(BarrierDriver):
                  get_dual_variables=False, phase1_tol=0,
                  use_psd_condition=False, x0=None, update_slacks_every=0,
                  dtype=None, refine_steps=0, eq_gate=None, reduced=None,
-                 staged_dispatch=None):
+                 staged_dispatch=None, algorithm="barrier"):
         del use_gpu
         P, q, A, b, c, d, F, g, self.n = _normalize_socp_inputs(
             P, q, A, b, c, d, F, g, lower_bound, upper_bound)
@@ -124,7 +136,7 @@ class SOCPSolver(BarrierDriver):
             update_slacks_every=update_slacks_every,
             use_psd_condition=use_psd_condition, dtype=dtype,
             refine_steps=refine_steps, eq_gate=eq_gate,
-            staged_dispatch=staged_dispatch,
+            staged_dispatch=staged_dispatch, algorithm=algorithm,
         )
 
         lb, ub = lower_bound, upper_bound
@@ -172,6 +184,79 @@ class SOCPSolver(BarrierDriver):
 
     def _slacks_at(self, x):
         return socp_full_slacks(self._prob, x)
+
+    def _solve_pd(self, cfg, x0, explicit_x0, wall0):
+        """Conic primal-dual Mehrotra path (ops/socp_pd.py): NT-scaled
+        predictor-corrector on the natural cone form — 10–30 iterations
+        vs the squared-cone barrier's 100+ Newton steps, no phase one.
+        Result surface matches the barrier path; conic duals z are
+        mapped to the squared-slack multipliers the reference reports
+        (λ_k = z_k0 / (2·rhs_k), equivalent stationarity — the appended
+        rhs-domain slack entries carry λ = 0)."""
+        import time as _time
+        from types import SimpleNamespace
+
+        prob = self._prob
+        dtype = cfg.jnp_dtype
+        G = jnp.concatenate([prob.c[:, None, :], prob.A], axis=1)
+        h = jnp.concatenate([prob.d[:, None], prob.b], axis=1)
+        qv = (prob.q if prob.q is not None
+              else jnp.zeros((self.n,), dtype))
+        res = _socp_pd_core(G, h, qv, jnp.asarray(x0, dtype), cfg,
+                            P=prob.P, F=prob.F, g=prob.g,
+                            lb=prob.lb, ub=prob.ub)
+        res = jax.device_get(res)
+
+        self.xstar = np.asarray(res.x)
+        self.value = float(self._oracle_fn(self._prob).obj(
+            jnp.asarray(self.xstar, dtype=dtype)))
+        self.optimal = True
+        gap = float(res.gap)
+        self.optimality_gap = gap
+        iters = int(res.iters)
+        self.outer_iters = iters
+        self.inner_iters = [1] * iters
+        self.objective_vals = []
+        self.backtrack_hist = None
+        if not bool(res.converged) and not self.suppress_print:
+            print(f"pd: not converged after {iters} iterations "
+                  f"(gap {gap:.3g}, rp {float(res.rp_norm):.3g}, "
+                  f"rd {float(res.rd_norm):.3g})")
+
+        m_ineq = max(self.num_constraints, 1)
+        self._result = SimpleNamespace(
+            x=self.xstar, v=None, t=m_ineq / max(gap, 1e-300),
+            value=self.value, dual_gap=gap, phase1=None)
+
+        if self.get_dual_variables:
+            rhs = (np.asarray(prob.c) @ self.xstar
+                   + np.asarray(prob.d))
+            lam_cone = (np.asarray(res.z)[:, 0]
+                        / (2.0 * np.maximum(rhs, 1e-300)))
+            parts = [lam_cone]
+            if prob.ub is not None:
+                parts.append(np.asarray(res.lam_ub))
+            if prob.lb is not None:
+                parts.append(np.asarray(res.lam_lb))
+            parts.append(np.zeros(lam_cone.shape[0]))  # rhs-domain block
+            self.lam_star = np.concatenate(parts)
+            if prob.F is not None:
+                self.v_star = np.asarray(res.y)
+                self.vstar = self.v_star
+
+        self.last_metrics = metrics.solve_record(
+            type(self).__name__,
+            n=self.n, num_constraints=self.num_constraints,
+            num_eq=(prob.F.shape[0] if prob.F is not None else 0),
+            value=self.value, dual_gap=gap,
+            outer_iters=iters, newton_iters=iters,
+            backtrack_hist=None, wall_s=_time.time() - wall0,
+            phase1_ran=False,
+            extra={"algorithm": "pd", "converged": bool(res.converged),
+                   "rp_norm": float(res.rp_norm),
+                   "rd_norm": float(res.rd_norm)})
+        metrics.emit(self.last_metrics)
+        return self.value
 
     def _staged_heuristic(self) -> bool:
         # Stage very large problems so one barrier stage per dispatch stays
