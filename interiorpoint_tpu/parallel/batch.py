@@ -53,9 +53,20 @@ def _single_socp(prob, x0, t0, cfg, num_constraints, eq_gate, use_phase1):
 
 
 def _single_pd(prob, x0, cfg, kind):
-    """Per-instance primal-dual Mehrotra solve (ops/pd.py) in full space:
-    bounds stacked into the inequality block, equalities via the Schur
-    elimination inside pd_solve.  No phase one needed."""
+    """Per-instance primal-dual Mehrotra solve in full space: LP/QP via
+    ops/pd.py (bounds stacked into the inequality block, equalities via
+    the Schur elimination inside pd_solve), SOCP via the NT-scaled conic
+    engine (ops/socp_pd.py).  No phase one needed."""
+    if kind == "socp":
+        from ..ops.socp_pd import socp_pd_solve
+
+        G = jnp.concatenate([prob.c[:, None, :], prob.A], axis=1)
+        h = jnp.concatenate([prob.d[:, None], prob.b], axis=1)
+        q = (prob.q if prob.q is not None
+             else jnp.zeros_like(x0))
+        return socp_pd_solve(G, h, q, x0, cfg, P=prob.P, F=prob.F,
+                             g=prob.g, lb=prob.lb, ub=prob.ub)
+
     from ..models.reduced import _reduced_ineq_block
     from ..ops.pd import pd_solve
 
@@ -104,10 +115,11 @@ def solve_batch(prob_batch, x0_batch, cfg, mesh=None, axis="batch",
       mesh: optional Mesh; the batch axis is sharded across ``axis`` so
         each chip solves its shard of instances (dp over problems).
       algorithm: "barrier" (default) or "pd" — the primal-dual Mehrotra
-        engine (LP/QP only; bounds must be finite, no phase one runs).
+        engines (ops/pd.py for LP/QP, ops/socp_pd.py for SOCP; LP/QP
+        bounds must be finite, no phase one runs).
 
     Returns an IPMResult pytree with a leading batch dimension
-    ("barrier") or a PDResult pytree ("pd").
+    ("barrier"), or a PDResult / SOCPPDResult pytree ("pd").
     """
     if isinstance(prob_batch, SOCPProblem):
         kind = "socp"
@@ -115,8 +127,6 @@ def solve_batch(prob_batch, x0_batch, cfg, mesh=None, axis="batch",
         kind = "qp"
     else:
         kind = "lp"
-    if algorithm == "pd" and kind == "socp":
-        raise ValueError("algorithm='pd' supports LP/QP batches only")
     if cfg.allow_stream:
         # resident-mode vmap-of-pallas is hardware-validated
         # (scripts/tpu_vmap_pallas_check.py); the streaming kernel's
