@@ -91,6 +91,22 @@ def main():
     print(f"sum(x)         {x.sum():.6f} (= 1)")
 
     # ------------------------------------------------------------------
+    # 3b. Same LP with the primal-dual Mehrotra engine (algorithm="pd"):
+    #     a fraction of the barrier's factorizations, no phase one,
+    #     stationarity-exact duals (new capability — the reference is
+    #     barrier-only)
+    # ------------------------------------------------------------------
+    print("\n=== LP, primal-dual Mehrotra (algorithm='pd') ===")
+    lp_pd = LPSolver(c=c, A=A, b=A @ x_feas, C=C, d=C @ x_feas,
+                     lower_bound=-3, upper_bound=3, suppress_print=True,
+                     check_cvxpy=False, epsilon=1e-8, algorithm="pd")
+    val_pd = lp_pd.solve()
+    print(f"optimal value  {val_pd:.6f}  (|diff vs barrier| "
+          f"{abs(val_pd - val):.2e})")
+    print(f"factorizations {lp_pd.outer_iters} "
+          f"(barrier used {sum(lp.inner_iters)})")
+
+    # ------------------------------------------------------------------
     # 4. Batched LASSO: a 50-point regularization sweep in one solve
     #    (reference demo's 50-λ sweep)
     # ------------------------------------------------------------------

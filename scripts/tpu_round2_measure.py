@@ -66,7 +66,8 @@ def main():
     # expected to dominate at large n where the barrier runs staged
     for suite, n, reps in ([] if QUICK else
                            [("lp", 1000, 3), ("lp", 5000, 2),
-                            ("qp", 1000, 3), ("qp", 5000, 2)]):
+                            ("qp", 1000, 3), ("qp", 5000, 2),
+                            ("socp", 1000, 2)]):
         t0 = time.time()
         try:
             mean_s, times, val, note = FNS[suite](n, reps, "float64",
