@@ -226,7 +226,8 @@ class BarrierDriver:
                      get_dual_variables, phase1_tol, phase1_t0,
                      update_slacks_every, use_psd_condition=False,
                      dtype=None, refine_steps=0, eq_gate=None,
-                     staged_dispatch=None, algorithm="barrier"):
+                     staged_dispatch=None, algorithm="barrier",
+                     pd_max_iters=60):
         del update_slacks_every  # unnecessary: exact slacks are free here
         if algorithm not in ("barrier", "pd"):
             raise ValueError("algorithm must be 'barrier' or 'pd', got "
@@ -259,6 +260,7 @@ class BarrierDriver:
             dtype=self._dtype_name,
             refine_steps=int(refine_steps),
             staged_dispatch=staged_dispatch,
+            pd_max_iters=int(pd_max_iters),
         )
         self.suppress_print = suppress_print
         self.track_loss = track_loss
@@ -404,6 +406,17 @@ class BarrierDriver:
             x0 = self.x
 
         if self.algorithm == "pd":
+            if kwargs.get("checkpoint_path") is not None:
+                raise ValueError(
+                    "algorithm='pd' does not support mid-solve "
+                    "checkpointing (solves are 10-40 iterations); use "
+                    "the barrier algorithm or utils.checkpoint.save_state "
+                    "for terminal snapshots")
+            if "max_outer_iters" in kwargs:
+                # explicit per-solve cap applies to pd iterations too
+                import dataclasses
+                cfg = dataclasses.replace(
+                    cfg, pd_max_iters=int(kwargs["max_outer_iters"]))
             return self._solve_pd(cfg, x0, "x0" in kwargs, _wall0)
 
         dtype = cfg.jnp_dtype
@@ -593,9 +606,14 @@ class BarrierDriver:
         x_full = expand(res.z)
         res, x_full = jax.device_get((res, x_full))
         if not finite_rows.all():
+            # re-expand BOTH lam and s so the stored result stays
+            # internally consistent: dropped (vacuous) rows carry λ = 0
+            # and infinite slack
             lam_full_order = np.zeros(d_np.shape[0])
             lam_full_order[finite_rows] = np.asarray(res.lam)
-            res = res._replace(lam=lam_full_order)
+            s_full_order = np.full(d_np.shape[0], np.inf)
+            s_full_order[finite_rows] = np.asarray(res.s)
+            res = res._replace(lam=lam_full_order, s=s_full_order)
 
         self.xstar = np.asarray(x_full)
         self.value = float(self._oracle_fn(self._prob).obj(

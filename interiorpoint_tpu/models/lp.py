@@ -93,7 +93,8 @@ class LPSolver(BarrierDriver):
                  get_dual_variables=False, phase1_tol=0, phase1_t0=0.01,
                  x0=None, update_slacks_every=0, dtype=None,
                  refine_steps=0, eq_gate=None, reduced=None,
-                 staged_dispatch=None, algorithm="barrier"):
+                 staged_dispatch=None, algorithm="barrier",
+                 pd_max_iters=60):
         del use_gpu
         self.n = _validate_lp(c, A, b, C, d, lower_bound, upper_bound)
         self.equality_constrained = A is not None
@@ -111,6 +112,7 @@ class LPSolver(BarrierDriver):
             update_slacks_every=update_slacks_every, dtype=dtype,
             refine_steps=refine_steps, eq_gate=eq_gate,
             staged_dispatch=staged_dispatch, algorithm=algorithm,
+            pd_max_iters=pd_max_iters,
         )
 
         lb = lower_bound

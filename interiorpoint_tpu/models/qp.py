@@ -35,7 +35,8 @@ class QPSolver(BarrierDriver):
                  get_dual_variables=False, phase1_tol=0, phase1_t0=0.01,
                  x0=None, update_slacks_every=0, dtype=None,
                  refine_steps=0, eq_gate=None, reduced=None,
-                 staged_dispatch=None, algorithm="barrier"):
+                 staged_dispatch=None, algorithm="barrier",
+                 pd_max_iters=60):
         del use_gpu
         if P is None:
             # (reference: QPSolver.py:104-107 rejects missing P)
@@ -65,6 +66,7 @@ class QPSolver(BarrierDriver):
             update_slacks_every=update_slacks_every, dtype=dtype,
             refine_steps=refine_steps, eq_gate=eq_gate,
             staged_dispatch=staged_dispatch, algorithm=algorithm,
+            pd_max_iters=pd_max_iters,
         )
 
         lb, ub = lower_bound, upper_bound

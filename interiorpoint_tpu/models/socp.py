@@ -116,7 +116,8 @@ class SOCPSolver(BarrierDriver):
                  get_dual_variables=False, phase1_tol=0,
                  use_psd_condition=False, x0=None, update_slacks_every=0,
                  dtype=None, refine_steps=0, eq_gate=None, reduced=None,
-                 staged_dispatch=None, algorithm="barrier"):
+                 staged_dispatch=None, algorithm="barrier",
+                 pd_max_iters=60):
         del use_gpu
         P, q, A, b, c, d, F, g, self.n = _normalize_socp_inputs(
             P, q, A, b, c, d, F, g, lower_bound, upper_bound)
@@ -137,6 +138,7 @@ class SOCPSolver(BarrierDriver):
             use_psd_condition=use_psd_condition, dtype=dtype,
             refine_steps=refine_steps, eq_gate=eq_gate,
             staged_dispatch=staged_dispatch, algorithm=algorithm,
+            pd_max_iters=pd_max_iters,
         )
 
         lb, ub = lower_bound, upper_bound
@@ -231,8 +233,15 @@ class SOCPSolver(BarrierDriver):
         if self.get_dual_variables:
             rhs = (np.asarray(prob.c) @ self.xstar
                    + np.asarray(prob.d))
-            lam_cone = (np.asarray(res.z)[:, 0]
-                        / (2.0 * np.maximum(rhs, 1e-300)))
+            # a cone degenerate at the origin (rhs → 0 at the optimum)
+            # has no finite squared-form multiplier; report λ = 0 there
+            # rather than an astronomically clamped ratio (the conic dual
+            # z itself remains available via certify's refit)
+            scale = 1.0 + float(np.abs(np.asarray(prob.d)).max())
+            lam_cone = np.where(
+                rhs > 1e-12 * scale,
+                np.asarray(res.z)[:, 0] / (2.0 * np.maximum(rhs, 1e-300)),
+                0.0)
             parts = [lam_cone]
             if prob.ub is not None:
                 parts.append(np.asarray(res.lam_ub))

@@ -178,6 +178,18 @@ def mixed_posdef_solve(H, B, extra_refine: int = 0):
                                      extra_refine)
 
 
+def posdef_solver(H, mixed: bool):
+    """Factor H once and return a ``solve(rhs)`` closure: the mixed
+    Jacobi-scaled f32 + f64-refinement path when ``mixed`` and H is f64,
+    else a robust (jitter-ladder) native Cholesky.  The shared factor
+    dispatch of the primal-dual engines (ops/pd.py, ops/socp_pd.py)."""
+    if mixed and H.dtype == jnp.float64:
+        fac = mixed_posdef_prepare(H)
+        return lambda rhs: mixed_posdef_factor_solve(fac, rhs)
+    L = robust_cholesky(H)
+    return lambda rhs: chol_solve(L, rhs)
+
+
 def matrix_free_posdef_solve(H_pre, apply_h, b, *, pcg_iters: int = 48,
                              pcg_rounds: int = 3):
     """Solve H x = b given a cheap preconditioner-grade assembly ``H_pre``

@@ -40,8 +40,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .kkt import (mixed_posdef_factor_solve, mixed_posdef_prepare,
-                  robust_cholesky, chol_solve)
+from .kkt import posdef_solver
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -69,7 +68,7 @@ def _max_step(v, dv):
     return jnp.minimum(1.0, jnp.min(ratio))
 
 
-def pd_solve(prob, z0, cfg, max_iters: int = 60, A=None, b=None) -> PDResult:
+def pd_solve(prob, z0, cfg, max_iters=None, A=None, b=None) -> PDResult:
     """Run the predictor-corrector solve on an inequality-form problem
     pytree (LPProblem/QPProblem: ``C``/``d`` plus ``c`` or ``P``/``q``),
     optionally with an equality pair ``A x = b`` handled by the same
@@ -87,6 +86,8 @@ def pd_solve(prob, z0, cfg, max_iters: int = 60, A=None, b=None) -> PDResult:
     k = C.shape[0]
     has_eq = A is not None
     mixed = bool(cfg.mixed_precision) and dtype == jnp.float64
+    if max_iters is None:
+        max_iters = int(cfg.pd_max_iters)
 
     z0 = z0.astype(dtype)
     # Infeasible start: keep s = d − Cz where comfortably positive, floor
@@ -119,11 +120,7 @@ def pd_solve(prob, z0, cfg, max_iters: int = 60, A=None, b=None) -> PDResult:
         return rd, rp, rpe
 
     def prepare(H):
-        if mixed:
-            fac = mixed_posdef_prepare(H)
-            return lambda rhs: mixed_posdef_factor_solve(fac, rhs)
-        L = robust_cholesky(H)
-        return lambda rhs: chol_solve(L, rhs)
+        return posdef_solver(H, mixed)
 
     def body(st):
         z, s, lam, v, it, *_ = st
@@ -174,9 +171,18 @@ def pd_solve(prob, z0, cfg, max_iters: int = 60, A=None, b=None) -> PDResult:
         rpn2 = jnp.max(jnp.abs(rp2))
         if has_eq:
             rpn2 = jnp.maximum(rpn2, jnp.max(jnp.abs(rpe2)))
+        rdn2 = jnp.max(jnp.abs(rd2))
         stalled = (ap < _STALL_STEP) & (ad < _STALL_STEP)
-        return (z2, s2, lam2, v2, it + 1, gap2,
-                rpn2, jnp.max(jnp.abs(rd2)), stalled)
+        # non-finite guard (as in ops/socp_pd.py): a degenerate late-stage
+        # factorization must keep the last good iterate and stop, not
+        # overwrite the state with NaN
+        bad = ~(jnp.isfinite(gap2) & jnp.isfinite(rpn2) & jnp.isfinite(rdn2)
+                & jnp.all(jnp.isfinite(z2)) & jnp.all(jnp.isfinite(lam2)))
+        keep = lambda new, old: jnp.where(bad, old, new)
+        old = st
+        return (keep(z2, old[0]), keep(s2, old[1]), keep(lam2, old[2]),
+                keep(v2, old[3]), it + 1, keep(gap2, old[5]),
+                keep(rpn2, old[6]), keep(rdn2, old[7]), stalled | bad)
 
     def cond(st):
         _, _, _, _, it, gap, rpn, rdn, stalled = st

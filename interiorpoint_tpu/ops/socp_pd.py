@@ -36,8 +36,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .kkt import (chol_solve, mixed_posdef_factor_solve,
-                  mixed_posdef_prepare, robust_cholesky)
+from .kkt import posdef_solver
+from .pd import _max_step as _max_step_lin
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 _GAMMA = 0.99
@@ -132,13 +132,8 @@ class SOCPPDResult(NamedTuple):
     rd_norm: jax.Array
 
 
-def _max_step_lin(v, dv):
-    r = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
-    return jnp.minimum(1.0, jnp.min(r))
-
-
 def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
-                  lb=None, ub=None, max_iters: int = 60) -> SOCPPDResult:
+                  lb=None, ub=None, max_iters=None) -> SOCPPDResult:
     """Conic Mehrotra predictor-corrector solve (module docstring).
 
     Args:
@@ -153,6 +148,8 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
     has_P = P is not None
     has_eq = F is not None
     mixed = bool(cfg.mixed_precision) and dtype == jnp.float64
+    if max_iters is None:
+        max_iters = int(cfg.pd_max_iters)
     e = jnp.zeros((K, M1), dtype).at[:, 0].set(1.0)
 
     ub_v = (jnp.full((n,), jnp.inf, dtype) if ub is None else ub)
@@ -195,11 +192,7 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
     y0 = jnp.zeros(F.shape[0] if has_eq else 0, dtype)
 
     def prepare(H):
-        if mixed:
-            fac = mixed_posdef_prepare(H)
-            return lambda rhs: mixed_posdef_factor_solve(fac, rhs)
-        L = robust_cholesky(H)
-        return lambda rhs: chol_solve(L, rhs)
+        return posdef_solver(H, mixed)
 
     def body(st):
         (x, y, s, z, su, lu, sl, ll, it, *_) = st

@@ -127,6 +127,19 @@ def solve_batch(prob_batch, x0_batch, cfg, mesh=None, axis="batch",
         kind = "qp"
     else:
         kind = "lp"
+    if algorithm == "pd" and kind in ("lp", "qp"):
+        # the vmapped pd path cannot drop ±inf (vacuous) bound rows
+        # per-instance (static shapes); reject them up front instead of
+        # letting them poison the slack/multiplier initialization (the
+        # single-instance driver filters them host-side)
+        import numpy as _np
+        for bname in ("lb", "ub"):
+            bv = getattr(prob_batch, bname, None)
+            if bv is not None and not bool(_np.isfinite(
+                    _np.asarray(bv)).all()):
+                raise ValueError(
+                    "solve_batch(algorithm='pd') requires finite bounds "
+                    f"(±inf entries in {bname}); omit the bound instead")
     if cfg.allow_stream:
         # resident-mode vmap-of-pallas is hardware-validated
         # (scripts/tpu_vmap_pallas_check.py); the streaming kernel's

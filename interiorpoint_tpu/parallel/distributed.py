@@ -460,7 +460,7 @@ def solve_lp_row_sharded(mesh: Mesh, c, A, b, C, d, lb=None, ub=None, *,
                          factor_dtype="float64", chol_block=256,
                          phase1="auto", checkpoint_path=None,
                          checkpoint_every=1, resume=False,
-                         algorithm="barrier"):
+                         algorithm="barrier", pd_max_iters=60):
     """Full distributed LP barrier solve with constraint rows sharded over
     the mesh: min c.x s.t. Ax = b, Cx <= d, lb <= x <= ub.
 
@@ -513,7 +513,8 @@ def solve_lp_row_sharded(mesh: Mesh, c, A, b, C, d, lb=None, ub=None, *,
         from .pd_dist import solve_pd_row_sharded
         return solve_pd_row_sharded(
             mesh, c, A, b, C, d, lb, ub, x0=x0, epsilon=epsilon,
-            axis=axis, distributed_factor=distributed_factor,
+            max_iters=pd_max_iters, axis=axis,
+            distributed_factor=distributed_factor,
             factor_dtype=factor_dtype, chol_block=chol_block)
     return _solve_row_sharded(
         mesh, None, c, A, b, C, d, lb, ub, x0=x0, t0=t0, mu=mu,
@@ -535,7 +536,7 @@ def solve_qp_row_sharded(mesh: Mesh, P_obj, c, A, b, C, d, lb=None,
                          factor_dtype="float64", chol_block=256,
                          phase1="auto", checkpoint_path=None,
                          checkpoint_every=1, resume=False,
-                         algorithm="barrier"):
+                         algorithm="barrier", pd_max_iters=60):
     """Distributed QP barrier solve: min ½xᵀPx + cᵀx s.t. Ax = b,
     Cx ≤ d, lb ≤ x ≤ ub, with constraint rows sharded over the mesh.
 
@@ -554,7 +555,7 @@ def solve_qp_row_sharded(mesh: Mesh, P_obj, c, A, b, C, d, lb=None,
         from .pd_dist import solve_pd_row_sharded
         return solve_pd_row_sharded(
             mesh, c, A, b, C, d, lb, ub, P_obj=P_obj, x0=x0,
-            epsilon=epsilon, axis=axis,
+            epsilon=epsilon, max_iters=pd_max_iters, axis=axis,
             distributed_factor=distributed_factor,
             factor_dtype=factor_dtype, chol_block=chol_block)
     return _solve_row_sharded(

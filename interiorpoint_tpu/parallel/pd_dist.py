@@ -117,21 +117,24 @@ def _row_sharded_pd(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
             H = psum(C.T @ (w_C[:, None] * C)) + jnp.diag(db)
             if has_P:
                 H = H + Pm
-            # trace-relative jitter: without bounds (db = 0) and k < n
-            # the Gram is singular; the perturbation is below the
-            # refinement noise floor either way
-            H = H + (1e-13 * jnp.max(jnp.diag(H))) * jnp.eye(
-                H.shape[0], dtype=dtype)
+            # Factor-only regularization, PER-ROW relative (equivalent to
+            # an absolute 1e-13 shift after Jacobi scaling): a
+            # max(diag)-relative shift would scale with the 1/μ-blowing
+            # bound diagonal and corrupt late directions (see
+            # ops/socp_pd.py).  The true operator kkt_apply is UNshifted,
+            # so the refinement rounds remove the perturbation — it only
+            # keeps the factor finite when db = 0 and k < n leave the
+            # Gram singular.
+            H_fac = H + jnp.diag(1e-13 * jnp.abs(jnp.diag(H)) + 1e-30)
 
             def kkt_apply(dz, dv_loc):
                 Hdz = psum(C.T @ (w_C * (C @ dz))) + db * dz
                 if has_P:
                     Hdz = Hdz + Pm @ dz
-                Hdz = Hdz + (1e-13 * jnp.max(jnp.diag(H))) * dz
                 return Hdz + psum(A.T @ dv_loc), A @ dz
 
             def make_dir(f32_factor):
-                solve = _make_solve(H, dtype, f32_factor)
+                solve = _make_solve(H_fac, dtype, f32_factor)
                 Y_local = solve(A.T)
                 Y = lax.all_gather(Y_local, axis, axis=1, tiled=True)
                 S_rows = A @ Y
@@ -165,7 +168,6 @@ def _row_sharded_pd(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
 
             if mixed:
                 dir32 = make_dir(True)
-                dir64 = make_dir(False)
 
                 def direction(r1, r2_local):
                     dz, dv = dir32(r1, r2_local)
@@ -176,8 +178,13 @@ def _row_sharded_pd(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
                     scale = (jnp.sum(r1**2) + psum(jnp.sum(r2_local**2))
                              + jnp.asarray(1e-300, dtype))
                     ok = (r1n + r2n) < 1e-16 * scale
+                    # the f64 factor is built INSIDE the fallback branch
+                    # (as in _row_sharded_barrier): it must only execute
+                    # on an actual f32-refinement stall, not every
+                    # iteration
                     return lax.cond(ok, lambda _: (dz, dv),
-                                    lambda _: dir64(r1, r2_local), None)
+                                    lambda _: make_dir(False)(r1, r2_local),
+                                    None)
             else:
                 direction = make_dir(False)
 

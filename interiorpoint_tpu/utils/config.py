@@ -134,6 +134,11 @@ class SolverConfig:
     # for workloads whose single-program device time could exceed runtime
     # execution limits, e.g. large f64 SOCPs).  See models/base.py.
     staged_dispatch: Optional[bool] = None
+    # Iteration cap for the primal-dual Mehrotra engines (algorithm="pd",
+    # ops/pd.py and ops/socp_pd.py).  Separate from max_outer_iters: a
+    # barrier "outer" is a whole centering stage, a pd iteration is one
+    # factorization; typical solves take 10-40.
+    pd_max_iters: int = 60
 
     def __post_init__(self):
         object.__setattr__(

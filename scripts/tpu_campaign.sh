@@ -7,20 +7,28 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=/tmp/ip_tpu_jax_cache
 
 # Wait for a chip claim to become available (devices() blocks while the
-# pool is busy).  Probe UNTIL one works — running the measurement steps
-# against a dead tunnel just burns their timeouts (4h) for nothing.
-i=0
-until timeout 900 python -u -c "
+# pool is busy).  Probe until one works — running the measurement steps
+# against a dead tunnel just burns their timeouts (4h) for nothing — but
+# bound the wait (~17h at 900s+120s per attempt) and EXIT on exhaustion
+# instead of proceeding.
+ok=0
+for i in $(seq 1 60); do
+  if timeout 900 python -u -c "
 import jax, numpy as np, time
 t0 = time.time()
 print('devices', jax.devices(), flush=True)
 print('d2h', np.asarray(jax.numpy.ones(8)*2.0)[:1], f'{time.time()-t0:.0f}s',
-      flush=True)"; do
-  i=$((i+1))
+      flush=True)"; then
+    ok=1; break
+  fi
   echo "=== probe $i failed $(date); retrying in 120s"
   sleep 120
 done
-echo "=== chip up after $i failed probes $(date)"
+if [ "$ok" != 1 ]; then
+  echo "=== chip never became claimable; aborting campaign $(date)"
+  exit 1
+fi
+echo "=== chip up after $((i-1)) failed probes $(date)"
 
 echo "=== stream smoke $(date)"
 timeout 2700 python -u scripts/tpu_stream_smoke.py

@@ -233,6 +233,42 @@ def test_pd_batched_solves_match_scipy():
         assert val == pytest.approx(refs[i], rel=1e-7, abs=1e-7), i
 
 
+def test_pd_iteration_cap_and_checkpoint_guards():
+    """max_outer_iters passed to solve() caps pd iterations;
+    pd_max_iters is the constructor knob; checkpoint_path raises (no
+    silent no-op); batched pd rejects ±inf bounds up front."""
+    import jax.numpy as jnp
+    from interiorpoint_tpu.models.problem import make_lp
+    from interiorpoint_tpu.parallel.batch import solve_batch, stack_problems
+    from interiorpoint_tpu.utils.config import SolverConfig
+
+    rng = np.random.default_rng(31)
+    n, k = 20, 10
+    C = rng.uniform(-2, 2, (k, n))
+    xf = rng.uniform(-1, 1, n)
+    c = -C.T @ rng.uniform(0.1, 1.0, k)
+    d = C @ xf + 0.5
+    s = LPSolver(c=c, C=C, d=d, lower_bound=-2, upper_bound=2,
+                 suppress_print=True, check_cvxpy=False, epsilon=1e-12,
+                 algorithm="pd")
+    s.solve(max_outer_iters=2)
+    assert s.outer_iters <= 2
+    s2 = LPSolver(c=c, C=C, d=d, lower_bound=-2, upper_bound=2,
+                  suppress_print=True, check_cvxpy=False, epsilon=1e-12,
+                  algorithm="pd", pd_max_iters=3)
+    s2.solve()
+    assert s2.outer_iters <= 3
+    with pytest.raises(ValueError, match="checkpoint"):
+        s.solve(checkpoint_path="/tmp/never_written.npz")
+
+    probs = [make_lp(c, None, None, C, d, -np.inf, 2.0)
+             for _ in range(8)]
+    batch = stack_problems(probs)
+    with pytest.raises(ValueError, match="finite bounds"):
+        solve_batch(batch, jnp.zeros((8, n), dtype=jnp.float64),
+                    SolverConfig(dtype="float64"), algorithm="pd")
+
+
 def test_pd_rejects_bad_algorithm_and_unconstrained():
     with pytest.raises(ValueError, match="algorithm"):
         LPSolver(c=np.ones(3), C=np.eye(3), d=np.ones(3),
