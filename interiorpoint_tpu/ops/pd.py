@@ -68,6 +68,84 @@ def _max_step(v, dv):
     return jnp.minimum(1.0, jnp.min(ratio))
 
 
+def pd_solve_fused(prob, z0, cfg, max_iters=None, *, stream=False,
+                   interpret=False) -> PDResult:
+    """Fused-kernel PD solve: the while_loop driver around the one-
+    iteration Pallas kernel (ops/pallas_pd.py) — each iteration's
+    residuals, Gram, factor, predictor and corrector run as ONE kernel
+    with zero emulated-f64 ops.  Inequality-form problems only (the
+    reduced problem; equalities use the XLA engine).  Semantics match
+    ``pd_solve``; dispatched automatically on TPU (see pd_solve)."""
+    from .pallas_newton import prep_reduced_consts
+    from .pallas_pd import pd_step_prepared
+
+    C, d = prob.C, prob.d
+    P = getattr(prob, "P", None)
+    q = (prob.c if P is None
+         else (prob.q if prob.q is not None else jnp.zeros_like(z0)))
+    dtype = C.dtype
+    k = C.shape[0]
+    if max_iters is None:
+        max_iters = int(cfg.pd_max_iters)
+
+    consts = prep_reduced_consts(C, d)
+    tP = P
+
+    z0 = z0.astype(dtype)
+    s_hat = d - C @ z0
+    floor = 1e-4 * (1.0 + jnp.max(jnp.abs(d)))
+    s0 = jnp.maximum(s_hat, floor)
+    lam0 = jnp.clip(1.0 / s0, 1e-6, 1e6)
+
+    gap_tol = jnp.asarray(cfg.epsilon, jnp.float32)
+    feas_tol = jnp.maximum(1e-9, jnp.minimum(1e-6, gap_tol))
+    d_scale = (1.0 + jnp.max(jnp.abs(d))).astype(jnp.float32)
+    q_scale = (1.0 + jnp.max(jnp.abs(q))).astype(jnp.float32)
+
+    step = lambda z, s, lam: pd_step_prepared(
+        consts, q, z, s, lam, tP, refine=int(cfg.pallas_refine),
+        stream=stream, interpret=interpret)
+
+    def body(st):
+        z, s, lam, it, stats = st
+        z2, s2, lam2, stats2 = step(z, s, lam)
+        bad = ~(jnp.all(jnp.isfinite(stats2))
+                & jnp.all(jnp.isfinite(z2)))
+        keep = lambda new, old: jnp.where(bad, old, new)
+        stats2 = jnp.where(bad, stats.at[6].set(1.0), stats2)
+        return (keep(z2, z), keep(s2, s), keep(lam2, lam), it + 1,
+                stats2)
+
+    def done_of(stats):
+        return ((stats[0] < gap_tol) & (stats[1] < feas_tol * d_scale)
+                & (stats[2] < feas_tol * q_scale))
+
+    def cond(st):
+        _, _, _, it, stats = st
+        stalled = ((stats[3] < 1e-10) & (stats[4] < 1e-10)) \
+            | (stats[6] > 0.5)
+        return (it < max_iters) & ~done_of(stats) & ~stalled \
+            & jnp.isfinite(stats[0])
+
+    # seed stats: gap/rp/rd of the INITIAL point so a converged start
+    # exits immediately; steps seeded at 1 (not stalled)
+    rp0 = C @ z0 + s0 - d
+    rd0 = q + C.T @ lam0
+    if P is not None:
+        rd0 = rd0 + P @ z0
+    stats0 = jnp.stack([
+        jnp.dot(s0, lam0), jnp.max(jnp.abs(rp0)), jnp.max(jnp.abs(rd0)),
+        jnp.ones(()), jnp.ones(()), jnp.zeros(()), jnp.zeros(()),
+        jnp.zeros(())]).astype(jnp.float32)
+    z, s, lam, it, stats = lax.while_loop(
+        cond, body, (z0, s0, lam0, jnp.zeros((), jnp.int32), stats0))
+    return PDResult(z=z, lam=lam, s=s, v=jnp.zeros(0, dtype), iters=it,
+                    converged=done_of(stats),
+                    gap=stats[0].astype(dtype),
+                    rp_norm=stats[1].astype(dtype),
+                    rd_norm=stats[2].astype(dtype))
+
+
 def pd_solve(prob, z0, cfg, max_iters=None, A=None, b=None) -> PDResult:
     """Run the predictor-corrector solve on an inequality-form problem
     pytree (LPProblem/QPProblem: ``C``/``d`` plus ``c`` or ``P``/``q``),
@@ -88,6 +166,21 @@ def pd_solve(prob, z0, cfg, max_iters=None, A=None, b=None) -> PDResult:
     mixed = bool(cfg.mixed_precision) and dtype == jnp.float64
     if max_iters is None:
         max_iters = int(cfg.pd_max_iters)
+
+    # TPU fast path: the fused one-kernel-per-iteration driver (same
+    # gates as the barrier's fused kernel; equalities and non-mixed
+    # dtypes stay on the XLA engine below)
+    if (not has_eq and mixed and cfg.use_pallas
+            and jax.default_backend() == "tpu"):
+        from .pallas_newton import kernel_mode
+
+        mode = kernel_mode(k, z0.shape[-1],
+                           getattr(prob, "P", None) is not None)
+        if mode == "stream" and not cfg.allow_stream:
+            mode = None
+        if mode is not None:
+            return pd_solve_fused(prob, z0, cfg, max_iters,
+                                  stream=mode == "stream")
 
     z0 = z0.astype(dtype)
     # Infeasible start: keep s = d − Cz where comfortably positive, floor
