@@ -38,6 +38,10 @@ echo "=== socp smoke $(date)"
 timeout 2700 python -u scripts/tpu_socp_smoke.py 1000
 echo "=== socp smoke exit=$? $(date)"
 
+echo "=== pd smoke $(date)"
+timeout 2700 python -u scripts/tpu_pd_smoke.py 500 1000
+echo "=== pd smoke exit=$? $(date)"
+
 echo "=== measure $(date)"
 timeout 9000 python -u scripts/tpu_round2_measure.py
 echo "=== measure exit=$? $(date)"
