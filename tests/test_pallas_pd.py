@@ -97,6 +97,27 @@ def test_pd_step_kernel_matches_f64_reference(quad):
         assert np.abs(rp_now).max() <= float(stats[1]) * 1.01 + 1e-6
 
 
+def test_pd_step_kernel_stream_matches_resident():
+    """HBM-streaming variant ≡ resident: identical arithmetic, different
+    data movement (exercises the scratch ordering around the DMA
+    window)."""
+    k, r = 96, 24
+    C, d, q, P, z, s, lam = _mk(7, k, r)
+    consts = prep_reduced_consts(jnp.asarray(C), jnp.asarray(d))
+    outs = {}
+    for stream in (False, True):
+        outs[stream] = pd_step_prepared(
+            consts, jnp.asarray(q), jnp.asarray(z), jnp.asarray(s),
+            jnp.asarray(lam), None, interpret=True, stream=stream)
+    # identical arithmetic modulo interpret-mode op reordering (~1e-14);
+    # stats (gap/norms/steps) agree exactly
+    for a, b in zip(outs[False][:3], outs[True][:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(outs[False][3]),
+                                  np.asarray(outs[True][3]))
+
+
 def test_pd_solve_fused_matches_xla_engine():
     """The fused-kernel while_loop driver (ops/pd.py pd_solve_fused) must
     reach the same optimum as the XLA engine at the same tolerances."""
