@@ -170,6 +170,12 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
 
     gap_tol = jnp.asarray(cfg.epsilon, dtype)
     feas_tol = jnp.maximum(1e-9, jnp.minimum(1e-6, gap_tol))
+    # dual-feasibility floors at 1e-8 relative: at gaps ≲ 1e-10 the
+    # recomputed rd = q − Gᵀz (+…) carries NT-scaling roundoff that a
+    # tighter test can never meet even though the iterate is optimal to
+    # machine precision (measured: rd dips to ~1e-10 then floats at
+    # ~1e-8 while the gap keeps closing)
+    feas_tol_d = jnp.maximum(1e-8, feas_tol)
     h_scale = 1.0 + jnp.max(jnp.abs(h))
     if has_eq:
         h_scale = jnp.maximum(h_scale, 1.0 + jnp.max(jnp.abs(g)))
@@ -367,7 +373,7 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
     def cond(st):
         it, gap, rpn, rdn, stalled = st[8], st[9], st[10], st[11], st[12]
         done = ((gap < gap_tol) & (rpn < feas_tol * h_scale)
-                & (rdn < feas_tol * q_scale))
+                & (rdn < feas_tol_d * q_scale))
         return (it < max_iters) & ~done & ~stalled & jnp.isfinite(gap)
 
     rd0 = q - jnp.einsum("kmn,km->n", G, z0, precision=_HIGHEST) \
@@ -387,7 +393,7 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
     out = lax.while_loop(cond, body, st0)
     x, y, s, z, su, lu, sl, ll, it, gap, rpn, rdn, _ = out
     converged = ((gap < gap_tol) & (rpn < feas_tol * h_scale)
-                 & (rdn < feas_tol * q_scale))
+                 & (rdn < feas_tol_d * q_scale))
     return SOCPPDResult(x=x, y=y, z=z, s=s, lam_ub=lu, lam_lb=ll,
                         iters=it, converged=converged, gap=gap,
                         rp_norm=rpn, rd_norm=rdn)

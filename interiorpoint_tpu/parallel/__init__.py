@@ -11,6 +11,7 @@ from .distributed import (
     solve_lp_row_sharded, solve_qp_row_sharded)
 from .pd_dist import solve_pd_row_sharded
 from .socp_dist import shard_cones, solve_socp_cone_sharded
+from .socp_pd_dist import solve_socp_pd_cone_sharded
 
 __all__ = [
     "make_mesh", "batch_sharding", "replicated",
@@ -19,4 +20,5 @@ __all__ = [
     "solve_lp_row_sharded", "solve_qp_row_sharded",
     "solve_pd_row_sharded",
     "shard_cones", "solve_socp_cone_sharded",
+    "solve_socp_pd_cone_sharded",
 ]

@@ -266,9 +266,16 @@ def solve_socp_cone_sharded(mesh: Mesh, A, b, c, d, P_obj=None, q=None,
                             distributed_factor=False,
                             factor_dtype="float64", chol_block=256,
                             phase1="auto", checkpoint_path=None,
-                            checkpoint_every=1, resume=False):
+                            checkpoint_every=1, resume=False,
+                            algorithm="barrier", pd_max_iters=60):
     """Full distributed SOCP barrier solve with the cone axis sharded
     over the mesh:
+
+    ``algorithm="pd"`` dispatches to the distributed conic Mehrotra
+    solve (``parallel.socp_pd_dist.solve_socp_pd_cone_sharded``): NT
+    scaling, 10–30 iterations, no phase one; the barrier-only knobs
+    (t0, mu, inner tolerances, line search, checkpointing) do not
+    apply there.
 
         min ½xᵀPx + qᵀx
         s.t. ‖A_k x + b_k‖₂ ≤ c_kᵀx + d_k  (k = 1..K),
@@ -297,6 +304,16 @@ def solve_socp_cone_sharded(mesh: Mesh, A, b, c, d, P_obj=None, q=None,
     Returns a dict with x, v (equality multipliers, empty when F is
     None), objective, outer_iters, newton_iters.
     """
+    if algorithm == "pd":
+        if checkpoint_path is not None:
+            raise ValueError("algorithm='pd' does not support mid-solve "
+                             "checkpointing (solves are 10-30 iterations)")
+        from .socp_pd_dist import solve_socp_pd_cone_sharded
+        return solve_socp_pd_cone_sharded(
+            mesh, A, b, c, d, P_obj=P_obj, q=q, F=F, g=g, lb=lb, ub=ub,
+            x0=x0, epsilon=epsilon, max_iters=pd_max_iters, axis=axis,
+            distributed_factor=distributed_factor,
+            factor_dtype=factor_dtype, chol_block=chol_block)
     from ..models.base import ensure_x64
     ensure_x64("float64")
     ndev = mesh.shape[axis]
