@@ -293,8 +293,11 @@ class SOCPSolver(BarrierDriver):
 
 
 def solve_socp(A, b=None, c=None, d=None, P=None, q=None, F=None, g=None,
-               lb=None, ub=None, cfg=None, x0=None, **cfg_overrides):
-    """Functional one-shot SOCP solve returning the raw IPMResult pytree."""
+               lb=None, ub=None, cfg=None, x0=None, algorithm="barrier",
+               **cfg_overrides):
+    """Functional one-shot SOCP solve returning the raw IPMResult pytree
+    (or a SOCPPDResult with ``algorithm="pd"`` — the NT-scaled conic
+    Mehrotra engine, ops/socp_pd.py)."""
     from ..utils.config import SolverConfig
     from .base import _barrier_core
 
@@ -309,6 +312,15 @@ def solve_socp(A, b=None, c=None, d=None, P=None, q=None, F=None, g=None,
     ub_vec = None if prob.ub is None else np.asarray(prob.ub)
     if x0 is None:
         x0 = synthesize_x0(lb_vec, ub_vec, n)
+    if algorithm == "pd":
+        from ..ops.socp_pd import socp_pd_solve
+
+        G = jnp.concatenate([prob.c[:, None, :], prob.A], axis=1)
+        h = jnp.concatenate([prob.d[:, None], prob.b], axis=1)
+        qv = prob.q if prob.q is not None else jnp.zeros((n,), dt)
+        return socp_pd_solve(G, h, qv, jnp.asarray(x0, dtype=dt), cfg,
+                             P=prob.P, F=prob.F, g=prob.g,
+                             lb=prob.lb, ub=prob.ub)
     eq_gate = cfg.eq_gate if cfg.eq_gate is not None else 1e-3
     return _barrier_core(
         prob, prob.F, prob.g, jnp.asarray(x0, dtype=dt),

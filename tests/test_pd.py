@@ -269,6 +269,40 @@ def test_pd_iteration_cap_and_checkpoint_guards():
                     SolverConfig(dtype="float64"), algorithm="pd")
 
 
+def test_pd_functional_entries():
+    """solve_lp/solve_qp/solve_socp accept algorithm='pd' and return the
+    raw PD result pytrees."""
+    from interiorpoint_tpu import solve_lp, solve_qp, solve_socp
+
+    rng = np.random.default_rng(3)
+    n, m, k = 20, 6, 8
+    A = rng.uniform(-2, 2, (m, n))
+    C = rng.uniform(-2, 2, (k, n))
+    xf = rng.uniform(-1, 1, n)
+    c = rng.uniform(-2, 2, n)
+    ref = linprog(c, A_ub=C, b_ub=C @ xf + 0.4, A_eq=A, b_eq=A @ xf,
+                  bounds=[(-3, 3)] * n, method="highs")
+    r = solve_lp(c, A, A @ xf, C, C @ xf + 0.4, -3.0, 3.0,
+                 algorithm="pd", epsilon=1e-9, x0=xf)
+    assert bool(r.converged)
+    assert float(c @ np.asarray(r.z)) == pytest.approx(ref.fun, rel=1e-8)
+    Pm = rng.uniform(-1, 1, (m, n))
+    P = Pm.T @ Pm + np.eye(n)
+    rq = solve_qp(P, c, A, A @ xf, C, C @ xf + 0.4, -3.0, 3.0,
+                  algorithm="pd", epsilon=1e-9, x0=xf)
+    assert bool(rq.converged)
+    K, M = 2, 3
+    As = [rng.standard_normal((M, n)) for _ in range(K)]
+    bs = [rng.standard_normal(M) for _ in range(K)]
+    cs = [rng.standard_normal(n) for _ in range(K)]
+    x0s = rng.standard_normal(n) * 0.1
+    dss = [float(np.linalg.norm(As[j] @ x0s + bs[j]) - cs[j] @ x0s + 1.0)
+           for j in range(K)]
+    rs = solve_socp(As, bs, cs, dss, q=c, lb=-3.0, ub=3.0,
+                    algorithm="pd", epsilon=1e-9, x0=x0s)
+    assert bool(rs.converged)
+
+
 def test_pd_rejects_bad_algorithm_and_unconstrained():
     with pytest.raises(ValueError, match="algorithm"):
         LPSolver(c=np.ones(3), C=np.eye(3), d=np.ones(3),
