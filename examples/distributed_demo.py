@@ -120,6 +120,26 @@ def main():
           f"{np.linalg.norm(F @ x - F @ x0):.2e}")
 
     # ------------------------------------------------------------------
+    # 3b. the same sharded solves with the Mehrotra engines: 3-5x fewer
+    #     iterations, no phase one (algorithm="pd")
+    # ------------------------------------------------------------------
+    print("\n[3b] distributed Mehrotra (algorithm='pd') on both shardings")
+    mesh = make_mesh(ndev, ("rows",))
+    out_pd = solve_lp_row_sharded(mesh, c, A, A @ xf, C, C @ xf + 0.5,
+                                  lb=-3.0, ub=3.0, epsilon=1e-8,
+                                  algorithm="pd")
+    print(f"    row-sharded LP: objective "
+          f"{float(out_pd['objective']):.6f} vs HiGHS {ref:.6f} in "
+          f"{out_pd['iterations']} pd iterations")
+    mesh = make_mesh(ndev, ("cones",))
+    out_spd = solve_socp_cone_sharded(mesh, As, bs, cs, ds, P, q, F,
+                                      F @ x0, -3.0, 3.0, x0=x0,
+                                      epsilon=1e-9, algorithm="pd")
+    print(f"    cone-sharded SOCP: objective "
+          f"{float(out_spd['objective']):.6f} in "
+          f"{out_spd['iterations']} pd iterations")
+
+    # ------------------------------------------------------------------
     # 4. sample-sharded batched-ADMM LASSO
     # ------------------------------------------------------------------
     print("\n[4] sample-sharded LASSO (batched ADMM)")

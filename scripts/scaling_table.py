@@ -44,6 +44,10 @@ CONFIGS = (
     ("f32-repl", dict(factor_dtype="float32")),
     ("f32-dist", dict(factor_dtype="float32", distributed_factor=True,
                       chol_block=64)),
+    # the distributed Mehrotra engine: same collective layout, 3-5x
+    # fewer iterations (pd "newton_iters" = pd iterations)
+    ("pd-f64", dict(algorithm="pd")),
+    ("pd-f32", dict(algorithm="pd", factor_dtype="float32")),
 )
 
 rows = []
