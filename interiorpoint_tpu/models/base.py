@@ -566,21 +566,9 @@ class BarrierDriver:
             # Full-space path: bounds stacked into C; equalities (when the
             # reduction is unavailable) handled by pd_solve's Schur block
             # elimination directly.
-            from .problem import LPProblem, QPProblem
-            from .reduced import _reduced_ineq_block
+            from .reduced import full_space_pd_problem
 
-            eye = jnp.eye(self.n, dtype=dtype)
-            xp = jnp.zeros(self.n, dtype=dtype)
-            C_z, d_z = _reduced_ineq_block(self._prob, eye, xp)
-            if C_z is None:
-                raise ValueError(
-                    "algorithm='pd' requires inequality constraints or "
-                    "bounds")
-            if getattr(self._prob, "P", None) is not None:
-                pprob = QPProblem(P=self._prob.P, q=self._prob.q,
-                                  C=C_z, d=d_z)
-            else:
-                pprob = LPProblem(c=self._prob.c, C=C_z, d=d_z)
+            pprob = full_space_pd_problem(self._prob, dtype)
             z0 = jnp.asarray(x0, dtype=dtype)
             expand = lambda z: z  # noqa: E731
             if A is not None:

@@ -143,17 +143,13 @@ def solve_qp(P, q=None, A=None, b=None, C=None, d=None, lb=None, ub=None,
         x0 = synthesize_x0(lb_vec, ub_vec, n)
     if algorithm == "pd":
         from ..ops.pd import pd_solve
-        from .problem import QPProblem
-        from .reduced import _reduced_ineq_block
+        from .reduced import full_space_pd_problem
 
-        C_z, d_z = _reduced_ineq_block(prob, jnp.eye(n, dtype=dt),
-                                       jnp.zeros((n,), dt))
-        if C_z is None:
-            raise ValueError("algorithm='pd' requires inequalities or "
-                             "bounds")
-        iprob = QPProblem(P=prob.P, q=prob.q, C=C_z, d=d_z)
-        return pd_solve(iprob, jnp.asarray(x0, dtype=dt), cfg,
+        return pd_solve(full_space_pd_problem(prob, dt),
+                        jnp.asarray(x0, dtype=dt), cfg,
                         A=prob.A, b=prob.b)
+    if algorithm != "barrier":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     p1_fn = make_phase1_linear_oracle if prob.C is not None else None
     eq_gate = cfg.eq_gate if cfg.eq_gate is not None else 1e-3
     return _barrier_core(

@@ -108,3 +108,21 @@ def _reduce_socp_core(prob, N, x_p):
         q_z = N.T @ prob.q
         offset = offset + prob.q @ x_p
     return SOCPProblem(A=A_z, b=b_z, c=c_z, d=d_z, P=P_z, q=q_z), offset
+
+
+def full_space_pd_problem(prob, dtype):
+    """Inequality-form problem for the primal-dual engines (ops/pd.py):
+    bounds stacked into the C block via the identity map x = I·z + 0
+    (the n = r special case of ``_reduced_ineq_block``).  Shared by the
+    driver fallback, the functional entries, and the batched path so the
+    pd lowering exists exactly once.  Raises when the problem has no
+    inequalities or bounds (pd needs a nonempty slack cone)."""
+    n = prob.n
+    C_z, d_z = _reduced_ineq_block(prob, jnp.eye(n, dtype=dtype),
+                                   jnp.zeros((n,), dtype))
+    if C_z is None:
+        raise ValueError(
+            "algorithm='pd' requires inequality constraints or bounds")
+    if getattr(prob, "P", None) is not None:
+        return QPProblem(P=prob.P, q=prob.q, C=C_z, d=d_z)
+    return LPProblem(c=prob.c, C=C_z, d=d_z)

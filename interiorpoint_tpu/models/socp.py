@@ -313,14 +313,14 @@ def solve_socp(A, b=None, c=None, d=None, P=None, q=None, F=None, g=None,
     if x0 is None:
         x0 = synthesize_x0(lb_vec, ub_vec, n)
     if algorithm == "pd":
-        from ..ops.socp_pd import socp_pd_solve
+        from ..ops.socp_pd import cone_operator, socp_pd_solve
 
-        G = jnp.concatenate([prob.c[:, None, :], prob.A], axis=1)
-        h = jnp.concatenate([prob.d[:, None], prob.b], axis=1)
-        qv = prob.q if prob.q is not None else jnp.zeros((n,), dt)
+        G, h, qv = cone_operator(prob)
         return socp_pd_solve(G, h, qv, jnp.asarray(x0, dtype=dt), cfg,
                              P=prob.P, F=prob.F, g=prob.g,
                              lb=prob.lb, ub=prob.ub)
+    if algorithm != "barrier":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     eq_gate = cfg.eq_gate if cfg.eq_gate is not None else 1e-3
     return _barrier_core(
         prob, prob.F, prob.g, jnp.asarray(x0, dtype=dt),

@@ -38,12 +38,47 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import dd
 from .pallas_chol import BLK
-from .pallas_newton import (CH, ReducedConsts, _c_in_specs, _chol_solve_ref,
-                            _common_scratch, _dd_pmatvec_row, _dd_recip,
-                            _equilibrate, _factor_jittered, _make_foreach,
-                            _pad, _pad2)
+from .pallas_newton import (CH, ReducedConsts, _STREAM_MAX_ROWS,
+                            _c_in_specs, _chol_solve_ref, _common_scratch,
+                            _dd_pmatvec_row, _dd_recip, _equilibrate,
+                            _factor_jittered, _make_foreach, _pad, _padk,
+                            _pad2)
 
 _GAMMA = 0.99995
+
+
+def pd_supported(k: int, r: int, has_P: bool) -> bool:
+    """All-VMEM envelope for the PD step kernel.  Differs from the
+    Newton kernel's (pallas_newton.supported) in the kp-proportional
+    budget: the PD kernel carries ~26·kp words of per-row state
+    (vec/vec2 scratch at 8 columns each, the (s, λ) dd pairs in and
+    out, the d pair) vs the Newton kernel's 10·kp."""
+    kp, rp = _padk(k), _pad(r)
+    words = (2 * kp * rp                      # Chi/Clo inputs
+             + (4 + (2 if has_P else 0)) * rp * rp
+             + 14 * CH * rp                   # slab dd temporaries
+             + 26 * kp)                       # per-row state (see above)
+    return words * 4 <= 110 * 1024 * 1024 and rp <= 1536
+
+
+def pd_supported_streaming(k: int, r: int, has_P: bool) -> bool:
+    """HBM-streaming envelope for the PD step kernel (C pair in HBM)."""
+    kp, rp = _padk(k), _pad(r)
+    words = ((4 + (2 if has_P else 0)) * rp * rp
+             + 4 * CH * rp                    # double-buffered C window
+             + 14 * CH * rp
+             + 26 * kp)
+    return (words * 4 <= 110 * 1024 * 1024 and rp <= 1536
+            and kp <= _STREAM_MAX_ROWS)
+
+
+def pd_kernel_mode(k: int, r: int, has_P: bool):
+    """'resident', 'stream', or None for the PD step kernel."""
+    if pd_supported(k, r, has_P):
+        return "resident"
+    if pd_supported_streaming(k, r, has_P):
+        return "stream"
+    return None
 
 
 def _pd_step_core(foreach_c, dhi_ref, dlo_ref, qhi, qlo, zhi, zlo,
@@ -156,7 +191,12 @@ def _pd_step_core(foreach_c, dhi_ref, dlo_ref, qhi, qlo, zhi, zlo,
         return hxh, hxl
 
     def _solve_refined(bh, bl):
-        """dd-refined solve H x = b with the shared factor."""
+        """dd-refined solve H x = b with the shared factor.  Also
+        returns the FINAL true-operator residual norms (rn2, bn2) in the
+        equilibrated metric — the solve-quality signal the driver's
+        convergence test gates on (a stalled refinement at κ(H)·eps32 > 1
+        must not let the (1−α)-contraction bookkeeping of rdn claim a
+        dual feasibility the direction never achieved)."""
         xh = jnp.zeros((1, rp), jnp.float32)
         xl = jnp.zeros((1, rp), jnp.float32)
         rh, rl = bh, bl
@@ -165,7 +205,9 @@ def _pd_step_core(foreach_c, dhi_ref, dlo_ref, qhi, qlo, zhi, zlo,
             xh, xl = dd.dd_add(xh, xl, corr, jnp.zeros_like(corr))
             hxh, hxl = _apply_h(xh, xl)
             rh, rl = dd.dd_add(bh, bl, -hxh, -hxl)
-        return xh, xl
+        rn2 = jnp.sum((rh * dsc_r) ** 2)[None, None]
+        bn2 = jnp.sum((bh * dsc_r) ** 2)[None, None]
+        return xh, xl, rn2, bn2
 
     # ---- rhs builder + direction: t = (rc − λ·rp)/s per row ------------
     def _direction(sig_mu, use_corr):
@@ -208,7 +250,7 @@ def _pd_step_core(foreach_c, dhi_ref, dlo_ref, qhi, qlo, zhi, zlo,
 
         cth, ctl = foreach_c(rhs_body, (zer, zer))
         bh, bl = dd.dd_add(-rdh, -rdl, cth, ctl)
-        dzh, dzl = _solve_refined(bh, bl)
+        dzh, dzl, srn2, sbn2 = _solve_refined(bh, bl)
 
         # ds = −rp − C dz; dλ = (−rc − λ ds)/s; step ratios
         def ds_body(ic, ch, cl, acc):
@@ -249,11 +291,12 @@ def _pd_step_core(foreach_c, dhi_ref, dlo_ref, qhi, qlo, zhi, zlo,
 
         inf11 = jnp.full((1, 1), jnp.inf, jnp.float32)
         ap_r, ad_r = foreach_c(ds_body, (inf11, inf11))
-        return dzh, dzl, jnp.minimum(1.0, ap_r), jnp.minimum(1.0, ad_r)
+        return (dzh, dzl, jnp.minimum(1.0, ap_r), jnp.minimum(1.0, ad_r),
+                srn2, sbn2)
 
     # ---- predictor (σ = 0) ---------------------------------------------
-    dzh_a, dzl_a, ap_a, ad_a = _direction(jnp.zeros((), jnp.float32),
-                                          use_corr=False)
+    dzh_a, dzl_a, ap_a, ad_a, _, _ = _direction(
+        jnp.zeros((), jnp.float32), use_corr=False)
 
     # μ_aff = Σ (s + αp ds)(λ + αd dλ) / kcnt
     def mu_body(ic, acc):
@@ -269,7 +312,8 @@ def _pd_step_core(foreach_c, dhi_ref, dlo_ref, qhi, qlo, zhi, zlo,
     sigma = jnp.clip(ratio * ratio * ratio, 0.0, 1.0)
 
     # ---- corrector (same factor) ----------------------------------------
-    dzh, dzl, ap, ad = _direction((sigma * mu_c)[0, 0], use_corr=True)
+    dzh, dzl, ap, ad, srn2, sbn2 = _direction((sigma * mu_c)[0, 0],
+                                              use_corr=True)
     ap = jnp.minimum(1.0, _GAMMA * ap)
     ad = jnp.minimum(1.0, _GAMMA * ad)
 
@@ -310,7 +354,7 @@ def _pd_step_core(foreach_c, dhi_ref, dlo_ref, qhi, qlo, zhi, zlo,
         rdn2 = rdn2 + jnp.abs(ap - ad) * jnp.max(jnp.abs(pdh) * colmask)
 
     return dict(znh=znh, znl=znl, gap2=gap2, rpn2=rpn2, rdn2=rdn2,
-                ap=ap, ad=ad, sigma=sigma)
+                ap=ap, ad=ad, sigma=sigma, srn2=srn2, sbn2=sbn2)
 
 
 def _pd_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, qhi_ref, qlo_ref,
@@ -340,8 +384,11 @@ def _pd_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, qhi_ref, qlo_ref,
     stats_ref[0, 3] = out["ap"][0, 0]
     stats_ref[0, 4] = out["ad"][0, 0]
     stats_ref[0, 5] = out["sigma"][0, 0]
-    stats_ref[0, 6] = 0.0
-    stats_ref[0, 7] = 0.0
+    # corrector solve quality (equilibrated residual² and rhs²): the
+    # driver's convergence test requires srn2 ≤ 1e-8·sbn2, so a stalled
+    # refinement can never certify a convergence the direction didn't earn
+    stats_ref[0, 6] = out["srn2"][0, 0]
+    stats_ref[0, 7] = out["sbn2"][0, 0]
 
 
 def pd_step_prepared(consts: ReducedConsts, q, z, s, lam, tP=None, *,

@@ -81,8 +81,6 @@ def pd_solve_fused(prob, z0, cfg, max_iters=None, *, stream=False,
 
     C, d = prob.C, prob.d
     P = getattr(prob, "P", None)
-    q = (prob.c if P is None
-         else (prob.q if prob.q is not None else jnp.zeros_like(z0)))
     dtype = C.dtype
     k = C.shape[0]
     if max_iters is None:
@@ -91,7 +89,11 @@ def pd_solve_fused(prob, z0, cfg, max_iters=None, *, stream=False,
     consts = prep_reduced_consts(C, d)
     tP = P
 
+    # derive everything from C's dtype BEFORE building q: a float32 z0
+    # on an f64 problem must not demote the kernel's working precision
     z0 = z0.astype(dtype)
+    q = (prob.c if P is None
+         else (prob.q if prob.q is not None else jnp.zeros_like(z0)))
     s_hat = d - C @ z0
     floor = 1e-4 * (1.0 + jnp.max(jnp.abs(d)))
     s0 = jnp.maximum(s_hat, floor)
@@ -107,38 +109,44 @@ def pd_solve_fused(prob, z0, cfg, max_iters=None, *, stream=False,
         stream=stream, interpret=interpret)
 
     def body(st):
-        z, s, lam, it, stats = st
+        z, s, lam, it, stats, _ = st
         z2, s2, lam2, stats2 = step(z, s, lam)
         bad = ~(jnp.all(jnp.isfinite(stats2))
                 & jnp.all(jnp.isfinite(z2)))
         keep = lambda new, old: jnp.where(bad, old, new)
-        stats2 = jnp.where(bad, stats.at[6].set(1.0), stats2)
         return (keep(z2, z), keep(s2, s), keep(lam2, lam), it + 1,
-                stats2)
+                keep(stats2, stats), bad)
 
     def done_of(stats):
+        # stats[6:8] = corrector solve residual²/rhs² (equilibrated):
+        # the (1−α)-contraction bookkeeping of rdn is only valid when
+        # the inner solve actually converged — a stalled dd refinement
+        # must not certify convergence
+        solve_ok = stats[6] <= 1e-8 * stats[7] + 1e-30
         return ((stats[0] < gap_tol) & (stats[1] < feas_tol * d_scale)
-                & (stats[2] < feas_tol * q_scale))
+                & (stats[2] < feas_tol * q_scale) & solve_ok)
 
     def cond(st):
-        _, _, _, it, stats = st
-        stalled = ((stats[3] < 1e-10) & (stats[4] < 1e-10)) \
-            | (stats[6] > 0.5)
+        _, _, _, it, stats, bad = st
+        stalled = ((stats[3] < 1e-10) & (stats[4] < 1e-10)) | bad
         return (it < max_iters) & ~done_of(stats) & ~stalled \
             & jnp.isfinite(stats[0])
 
     # seed stats: gap/rp/rd of the INITIAL point so a converged start
-    # exits immediately; steps seeded at 1 (not stalled)
+    # exits immediately; steps seeded at 1 (not stalled), solve quality
+    # seeded as failed (a zero-iteration exit must still have solved)
     rp0 = C @ z0 + s0 - d
     rd0 = q + C.T @ lam0
     if P is not None:
         rd0 = rd0 + P @ z0
     stats0 = jnp.stack([
         jnp.dot(s0, lam0), jnp.max(jnp.abs(rp0)), jnp.max(jnp.abs(rd0)),
-        jnp.ones(()), jnp.ones(()), jnp.zeros(()), jnp.zeros(()),
+        jnp.ones(()), jnp.ones(()), jnp.zeros(()), jnp.ones(()),
         jnp.zeros(())]).astype(jnp.float32)
-    z, s, lam, it, stats = lax.while_loop(
-        cond, body, (z0, s0, lam0, jnp.zeros((), jnp.int32), stats0))
+    z, s, lam, it, stats, _ = lax.while_loop(
+        cond, body,
+        (z0, s0, lam0, jnp.zeros((), jnp.int32), stats0,
+         jnp.zeros((), bool)))
     return PDResult(z=z, lam=lam, s=s, v=jnp.zeros(0, dtype), iters=it,
                     converged=done_of(stats),
                     gap=stats[0].astype(dtype),
@@ -172,10 +180,10 @@ def pd_solve(prob, z0, cfg, max_iters=None, A=None, b=None) -> PDResult:
     # dtypes stay on the XLA engine below)
     if (not has_eq and mixed and cfg.use_pallas
             and jax.default_backend() == "tpu"):
-        from .pallas_newton import kernel_mode
+        from .pallas_pd import pd_kernel_mode
 
-        mode = kernel_mode(k, z0.shape[-1],
-                           getattr(prob, "P", None) is not None)
+        mode = pd_kernel_mode(k, z0.shape[-1],
+                              getattr(prob, "P", None) is not None)
         if mode == "stream" and not cfg.allow_stream:
             mode = None
         if mode is not None:

@@ -420,3 +420,14 @@ def max_step_cone(s, ds):
     h = jnp.where(ds[..., 0] < 0, -s[..., 0] / ds[..., 0], jnp.inf)
     alpha = jnp.minimum(jnp.min(pos_roots), jnp.min(h))
     return jnp.minimum(1.0, alpha)
+
+
+def cone_operator(prob):
+    """(G, h, q) for ``socp_pd_solve`` from a stacked SOCPProblem pytree:
+    G_k = [c_kᵀ; A_k], h_k = [d_k; b_k].  Shared by the driver, the
+    functional entry, and the batched path."""
+    G = jnp.concatenate([prob.c[:, None, :], prob.A], axis=1)
+    h = jnp.concatenate([prob.d[:, None], prob.b], axis=1)
+    q = (prob.q if prob.q is not None
+         else jnp.zeros((prob.n,), G.dtype))
+    return G, h, q

@@ -57,30 +57,19 @@ def _single_pd(prob, x0, cfg, kind):
     ops/pd.py (bounds stacked into the inequality block, equalities via
     the Schur elimination inside pd_solve), SOCP via the NT-scaled conic
     engine (ops/socp_pd.py).  No phase one needed."""
-    if kind == "socp":
-        from ..ops.socp_pd import socp_pd_solve
+    del kind
+    if isinstance(prob, SOCPProblem):
+        from ..ops.socp_pd import cone_operator, socp_pd_solve
 
-        G = jnp.concatenate([prob.c[:, None, :], prob.A], axis=1)
-        h = jnp.concatenate([prob.d[:, None], prob.b], axis=1)
-        q = (prob.q if prob.q is not None
-             else jnp.zeros_like(x0))
+        G, h, q = cone_operator(prob)
         return socp_pd_solve(G, h, q, x0, cfg, P=prob.P, F=prob.F,
                              g=prob.g, lb=prob.lb, ub=prob.ub)
 
-    from ..models.reduced import _reduced_ineq_block
+    from ..models.reduced import full_space_pd_problem
     from ..ops.pd import pd_solve
 
-    n = x0.shape[-1]
-    eye = jnp.eye(n, dtype=x0.dtype)
-    xp = jnp.zeros(n, dtype=x0.dtype)
-    C_z, d_z = _reduced_ineq_block(prob, eye, xp)
-    if C_z is None:
-        raise ValueError("algorithm='pd' requires inequalities or bounds")
-    if kind == "qp":
-        pprob = QPProblem(P=prob.P, q=prob.q, C=C_z, d=d_z)
-    else:
-        pprob = LPProblem(c=prob.c, C=C_z, d=d_z)
-    return pd_solve(pprob, x0, cfg, A=prob.A, b=prob.b)
+    return pd_solve(full_space_pd_problem(prob, x0.dtype), x0, cfg,
+                    A=prob.A, b=prob.b)
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_constraints", "eq_gate",
@@ -127,6 +116,8 @@ def solve_batch(prob_batch, x0_batch, cfg, mesh=None, axis="batch",
         kind = "qp"
     else:
         kind = "lp"
+    if algorithm not in ("barrier", "pd"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     if algorithm == "pd" and kind in ("lp", "qp"):
         # the vmapped pd path cannot drop ±inf (vacuous) bound rows
         # per-instance (static shapes); reject them up front instead of

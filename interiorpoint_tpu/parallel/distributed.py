@@ -516,6 +516,8 @@ def solve_lp_row_sharded(mesh: Mesh, c, A, b, C, d, lb=None, ub=None, *,
             max_iters=pd_max_iters, axis=axis,
             distributed_factor=distributed_factor,
             factor_dtype=factor_dtype, chol_block=chol_block)
+    if algorithm != "barrier":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     return _solve_row_sharded(
         mesh, None, c, A, b, C, d, lb, ub, x0=x0, t0=t0, mu=mu,
         epsilon=epsilon, inner_epsilon=inner_epsilon, alpha=alpha,
@@ -558,6 +560,8 @@ def solve_qp_row_sharded(mesh: Mesh, P_obj, c, A, b, C, d, lb=None,
             epsilon=epsilon, max_iters=pd_max_iters, axis=axis,
             distributed_factor=distributed_factor,
             factor_dtype=factor_dtype, chol_block=chol_block)
+    if algorithm != "barrier":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     return _solve_row_sharded(
         mesh, P_obj, c, A, b, C, d, lb, ub, x0=x0, t0=t0, mu=mu,
         epsilon=epsilon, inner_epsilon=inner_epsilon, alpha=alpha,

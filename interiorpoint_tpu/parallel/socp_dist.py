@@ -314,6 +314,8 @@ def solve_socp_cone_sharded(mesh: Mesh, A, b, c, d, P_obj=None, q=None,
             x0=x0, epsilon=epsilon, max_iters=pd_max_iters, axis=axis,
             distributed_factor=distributed_factor,
             factor_dtype=factor_dtype, chol_block=chol_block)
+    if algorithm != "barrier":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     from ..models.base import ensure_x64
     ensure_x64("float64")
     ndev = mesh.shape[axis]

@@ -355,8 +355,13 @@ def solve_socp_pd_cone_sharded(mesh: Mesh, A, b, c, d, P_obj=None, q=None,
 
     import numpy as np
 
-    return dict(x=x, y=np.asarray(y)[:m_true], objective=float(obj),
-                iterations=int(it), gap=float(gap),
+    it = int(it)
+    y_true = np.asarray(y)[:m_true]
+    return dict(x=x, y=y_true, objective=float(obj),
+                iterations=it, gap=float(gap),
                 converged=bool(conv), z=np.asarray(z_g)[:K],
                 lam_ub=(np.asarray(lu) if ub is not None else None),
-                lam_lb=(np.asarray(ll) if lb is not None else None))
+                lam_lb=(np.asarray(ll) if lb is not None else None),
+                # barrier-result aliases so callers dispatching via
+                # solve_socp_cone_sharded(algorithm="pd") keep working
+                v=y_true, outer_iters=it, newton_iters=it)

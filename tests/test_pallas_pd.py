@@ -110,12 +110,14 @@ def test_pd_step_kernel_stream_matches_resident():
             consts, jnp.asarray(q), jnp.asarray(z), jnp.asarray(s),
             jnp.asarray(lam), None, interpret=True, stream=stream)
     # identical arithmetic modulo interpret-mode op reordering (~1e-14);
-    # stats (gap/norms/steps) agree exactly
+    # stats (gap/norms/steps) agree exactly, the solve-quality residual²
+    # entries only to rounding noise (~1e-28)
     for a, b in zip(outs[False][:3], outs[True][:3]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-12)
-    np.testing.assert_array_equal(np.asarray(outs[False][3]),
-                                  np.asarray(outs[True][3]))
+    sa, sb = np.asarray(outs[False][3]), np.asarray(outs[True][3])
+    np.testing.assert_array_equal(sa[:6], sb[:6])
+    np.testing.assert_allclose(sa[6:], sb[6:], rtol=0, atol=1e-20)
 
 
 def test_pd_solve_fused_matches_xla_engine():
