@@ -309,6 +309,11 @@ def test_structured_flow_lp_regression():
     assert np.max(np.abs(A @ x - b)) < 1e-6
     assert np.max(C @ x - d) < 1e-6
     assert np.all(x >= lb - 1e-8) and np.all(x <= ub + 1e-8)
+    # the Mehrotra engine on the same (heavily dual-degenerate) instance
+    pd = miplib.solve_lp_npy(path, suppress_print=True, check_cvxpy=False,
+                             epsilon=1e-8, algorithm="pd")
+    assert abs(pd.value - ref.fun) / abs(ref.fun) < 1e-8
+    assert pd.last_metrics["converged"] is True
 
 
 def test_miplib_instance_regression():
