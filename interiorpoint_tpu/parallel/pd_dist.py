@@ -76,10 +76,15 @@ def _row_sharded_pd(mesh: Mesh, axis: str, *, m_true: int, k_true: int,
         gap_tol = jnp.asarray(eps, dtype)
         feas_tol = jnp.maximum(1e-9, jnp.minimum(1e-6, gap_tol))
 
-        # --- initialization (ops/pd.py semantics, segment-wise) ---------
+        # --- initialization (ops/pd.py semantics, segment-wise, with the
+        # Mehrotra-style GLOBAL slack shift on violated starts — the
+        # worst violation reduces over the mesh) -------------------------
         floor = 1e-4 * d_scale
         s_hat = d - C @ x0
-        s0 = jnp.where(mask > 0, jnp.maximum(s_hat, floor), 1.0)
+        smin = -pmax(jnp.max(jnp.where(mask > 0, -s_hat, -jnp.inf)))
+        delta = jnp.where(smin < floor,
+                          -1.5 * jnp.minimum(smin, 0.0) + floor, 0.0)
+        s0 = jnp.where(mask > 0, jnp.maximum(s_hat + delta, floor), 1.0)
         lam0 = jnp.where(mask > 0, jnp.clip(1.0 / s0, 1e-6, 1e6), 0.0)
         su0 = jnp.where(fub > 0, jnp.maximum(ubf - x0, floor), 1.0)
         lu0 = jnp.where(fub > 0, jnp.clip(1.0 / su0, 1e-6, 1e6), 0.0)
