@@ -39,6 +39,12 @@ res = solve_lp_row_sharded(mesh, c, A, A @ xf, C, C @ xf + 0.5,
                            lb=-3.0, ub=3.0, x0=xf, epsilon=1e-8)
 print(f"RESULT lp {pid} {float(res['objective']):.12f}", flush=True)
 
+# the distributed Mehrotra engine over the same 2-process mesh
+res_pd = solve_lp_row_sharded(mesh, c, A, A @ xf, C, C @ xf + 0.5,
+                              lb=-3.0, ub=3.0, x0=xf, epsilon=1e-8,
+                              algorithm="pd")
+print(f"RESULT lppd {pid} {float(res_pd['objective']):.12f}", flush=True)
+
 rng = np.random.default_rng(23)
 K, M, ns = 4, 3, 10
 As = rng.standard_normal((K, M, ns))

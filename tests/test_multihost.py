@@ -90,13 +90,15 @@ def test_two_process_distributed_solves():
             if line.startswith("RESULT "):
                 _, suite, wpid, val = line.split()
                 results[(suite, int(wpid))] = float(val)
-    assert set(results) == {("lp", 0), ("lp", 1),
-                            ("socp", 0), ("socp", 1)}, outs
+    assert set(results) == {("lp", 0), ("lp", 1), ("lppd", 0),
+                            ("lppd", 1), ("socp", 0), ("socp", 1)}, outs
 
     # both processes computed the identical replicated optimum...
     assert results[("lp", 0)] == results[("lp", 1)]
+    assert results[("lppd", 0)] == results[("lppd", 1)]
     assert results[("socp", 0)] == results[("socp", 1)]
     # ...and it matches the ground truth
     assert results[("lp", 0)] == pytest.approx(_expected_lp(), rel=2e-6)
+    assert results[("lppd", 0)] == pytest.approx(_expected_lp(), rel=2e-6)
     assert results[("socp", 0)] == pytest.approx(_expected_socp(),
                                                  rel=1e-5, abs=1e-5)
