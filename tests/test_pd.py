@@ -12,11 +12,14 @@ from interiorpoint_tpu import LPSolver, QPSolver, certify
 
 # (n, m_eq, k_ineq, lb?, ub?) — structural edge cases as in test_fuzz.py
 SHAPES = [
+    (1, 0, 2, True, True),        # n=1: vectors vs scalars
     (2, 1, 0, True, True),
     (3, 0, 0, True, True),        # box-only
     (4, 2, 3, False, True),       # upper bound only
     (5, 3, 1, True, True),
     (6, 0, 8, False, True),
+    (7, 5, 4, True, True),
+    (2, 1, 1, True, False),       # lower bound only, tiny
     (8, 2, 0, True, False),
 ]
 
