@@ -63,6 +63,21 @@ def test_pd_lp_shape_sweep(n, m, k, has_lb, has_ub):
     assert certify(s).ok(1e-6)
 
 
+@pytest.mark.parametrize("n,m,k,has_lb,has_ub", SHAPES)
+def test_pd_qp_shape_sweep(n, m, k, has_lb, has_ub):
+    rng = np.random.default_rng(88 + n)
+    p, xf = _gen_lp(n, m, k, has_lb, has_ub, seed=5000 + n * 11 + k)
+    M = rng.uniform(-1, 1, (n, n))
+    P = M.T @ M + np.eye(n)
+    s = QPSolver(P=P, q=p["c"], A=p["A"], b=p["b"], C=p["C"], d=p["d"],
+                 lower_bound=p["lb"] if has_lb else -np.inf,
+                 upper_bound=p["ub"],
+                 suppress_print=True, check_cvxpy=False, epsilon=1e-9,
+                 x0=xf, algorithm="pd")
+    s.solve()
+    assert certify(s).ok(1e-6)
+
+
 def test_pd_lp_matches_barrier_and_is_cheaper():
     """Benchmark-recipe LP: pd agrees with the barrier optimum and takes
     far fewer factorizations (the selling point)."""
