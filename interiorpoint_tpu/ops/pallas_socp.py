@@ -304,8 +304,12 @@ def _socp_step_kernel(Ahi_ref, Alo_ref, bhi_ref, blo_ref, E_ref,
 
     # candidate sweep (KP, J): u = sig*a + sig^2*b
     u = a32 * sig + b32 * (sig * sig)
-    dom_cone = jnp.all(1.0 + u > 1e-6, axis=0, keepdims=True)
-    dom_rhs = jnp.all(1.0 + v32 * sig > 1e-6, axis=0, keepdims=True)
+    # all(1+x > eps) as an f32 min-reduction: Mosaic lowers boolean
+    # all-reductions to an f64 minimumf multi_reduction it cannot
+    # compile on v5e ("Unsupported element type for the selected
+    # reduction"); min(x) > eps-1 is the same predicate in pure f32.
+    dom_cone = jnp.min(u, axis=0, keepdims=True) > (1e-6 - 1.0)
+    dom_rhs = jnp.min(v32 * sig, axis=0, keepdims=True) > (1e-6 - 1.0)
     phisum = jnp.sum(_phi_stable(-u), axis=0, keepdims=True)   # (1, J)
     sumb = jnp.sum(b32)
     armijo = (sig * ((1.0 - alpha) * gdx32)
