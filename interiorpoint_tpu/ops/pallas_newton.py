@@ -657,7 +657,7 @@ def prep_reduced_consts(C, d) -> ReducedConsts:
 
 def _c_in_specs(stream: bool):
     """Input specs: C pair in HBM when streaming, VMEM when resident."""
-    c_space = pltpu.ANY if stream else pltpu.VMEM
+    c_space = pl.ANY if stream else pltpu.VMEM
     return [pl.BlockSpec(memory_space=c_space)] * 2
 
 
