@@ -185,14 +185,26 @@ def roofline(suite, n, reps, dtype):
         return pn.reduced_newton_step_prepared(
             consts, tc_, z_, tP_, sig, alpha=0.2, stream=mode == "stream")
 
-    jit_step = jax.jit(step)
+    # Chain `reps` DEPENDENT steps inside one jitted fori_loop: a
+    # per-call timing would fold the host→device dispatch latency
+    # (~3 ms over this platform's tunnel) into every step, while the
+    # production solver runs its Newton steps inside one while_loop
+    # program with no per-step dispatch.  The accepted iterate feeds the
+    # next step, exactly like the solver's inner loop; per-step FLOPs
+    # are shape-bound, so the chain is timing-representative even after
+    # the iterate centers.
+    from jax import lax as _lax
+
+    def chain(tc_, z_, tP_):
+        return _lax.fori_loop(
+            0, reps, lambda i, zc: step(tc_, zc, tP_)[0], z_)
+
+    jit_chain = jax.jit(chain)
     tP = None if Pz is None else jnp.asarray(Pz)
     args_ = (tc, jnp.asarray(z0), tP)
-    jax.block_until_ready(jit_step(*args_))           # compile + warm
+    jax.block_until_ready(jit_chain(*args_))          # compile + warm
     t0 = time.time()
-    for _ in range(reps):
-        out = jit_step(*args_)
-    jax.block_until_ready(out)
+    jax.block_until_ready(jit_chain(*args_))
     dt = (time.time() - t0) / reps
 
     refine_passes = 3 + 1                              # refine rounds + p1

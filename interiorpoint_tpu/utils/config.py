@@ -169,6 +169,22 @@ class AdmmConfig:
     add_bias: bool = False
     compute_loss: bool = False
     dtype: str = "float32"
+    # Over-relaxation coefficient (Boyd et al., "Distributed Optimization
+    # and Statistical Learning via ADMM", §3.4.3): x̂ = relax·x +
+    # (1−relax)·α in the α/u updates.  1.0 reproduces the reference's
+    # plain iteration (LassoSolver.py:240-337, which has no relaxation);
+    # values in [1.5, 1.8] typically cut the iteration count 1.5–2× at
+    # identical stopping tolerances.  The iteration is bandwidth-bound on
+    # the (n, n) cached-inverse matvec, so fewer iterations translate
+    # directly to wall-clock.
+    relax: float = 1.0
+    # Real adaptive ρ (the reference's flag is an unimplemented no-op —
+    # LassoSolver.py:144-156): contraction-rate-triggered descents down a
+    # precomputed ρ-ladder of ``rho_rungs`` rungs spaced by
+    # ``rho_factor``; see ops/admm.py module docstring.
+    adaptive_rho: bool = False
+    rho_rungs: int = 5
+    rho_factor: float = 4.0
 
     @property
     def jnp_dtype(self):

@@ -152,3 +152,33 @@ def test_lasso_example_data():
     # regularized rows: subgradient optimality
     assert _subgradient_residual(A_aug[:, 1:], y[:, None] - A_aug[:, :1]
                                  @ X[:1], np.array([0.1]), X[1:]) < 1e-2
+
+
+def test_lasso_adaptive_rho_matches_plain():
+    """The ρ-ladder + over-relaxation defaults (ops/admm.py round-3
+    additions) must reach the same optimum as the reference-parity
+    fixed-ρ iteration, in fewer iterations."""
+    A, b, reg = _gen_lasso(n=60, m=180, B=5, seed=3)
+    kw = dict(reg=reg, rho=0.4, max_iters=8000, check_stop=10,
+              eps_abs=1e-6, eps_rel=1e-6, check_cvxpy=False)
+    fast = LassoSolver(A, b, **kw)                       # defaults on
+    Xf, sf, _, itf = fast.solve()
+    plain = LassoSolver(A, b, adaptive_rho=False, relax=1.0, **kw)
+    Xp, sp, _, itp = plain.solve()
+    np.testing.assert_allclose(sf, sp, rtol=1e-6)
+    assert _subgradient_residual(A, b, reg, Xf) < 1e-4
+    assert sum(np.atleast_1d(itf)) <= sum(np.atleast_1d(itp))
+
+
+def test_lasso_adaptive_rho_chunked_matches_single():
+    """Chunked dispatch shares the prepared factor ladder; per-chunk
+    solves must match the unchunked batch."""
+    A, b, reg = _gen_lasso(n=50, m=150, B=6, seed=4)
+    kw = dict(reg=reg, rho=0.4, max_iters=8000, check_stop=10,
+              eps_abs=1e-7, eps_rel=1e-7, check_cvxpy=False)
+    single = LassoSolver(A, b, **kw)
+    Xs, ss, _, _ = single.solve()
+    chunked = LassoSolver(A, b, num_chunks=3, **kw)
+    Xc, sc, _, _ = chunked.solve()
+    np.testing.assert_allclose(sc, ss, rtol=1e-6)
+    np.testing.assert_allclose(Xc, Xs, atol=1e-4)
