@@ -124,10 +124,18 @@ def mixed_posdef_prepare(H):
     return d, Hs, L32
 
 
-def mixed_posdef_factor_solve(fac, B, extra_refine: int = 0):
+def mixed_posdef_factor_solve(fac, B, extra_refine: int = 0,
+                              exact_fallback: bool = True):
     """Solve H X = B given ``fac = mixed_posdef_prepare(H)``: adaptive f64
     iterative refinement against the scaled f64 system, with the exact-f64
-    refactorization fallback when refinement stalls (κ(Hs)·eps32 ≳ 1)."""
+    refactorization fallback when refinement stalls (κ(Hs)·eps32 ≳ 1).
+
+    ``exact_fallback=False`` skips that fallback and returns the refined
+    iterate as-is (relative residual typically ~κ·eps32² on a stall).  On
+    TPU the fallback is an EMULATED-f64 blocked Cholesky — ~60× an f32
+    factor (module comment above) — so callers that recompute true KKT
+    residuals themselves and only need direction-grade solves (the
+    Mehrotra engines: ops/socp_pd.py, ops/pd.py) must not pay it."""
     d, Hs, L32 = fac
     dtype = Hs.dtype
 
@@ -166,7 +174,8 @@ def mixed_posdef_factor_solve(fac, B, extra_refine: int = 0):
         L = robust_cholesky(Hs)
         return chol_solve(L, Bs)
 
-    X = lax.cond(rn > 1e-10 * bnorm, exact, lambda _: X, None)
+    if exact_fallback:
+        X = lax.cond(rn > 1e-10 * bnorm, exact, lambda _: X, None)
     return (d * X) if vec else (d[:, None] * X)
 
 
@@ -178,14 +187,16 @@ def mixed_posdef_solve(H, B, extra_refine: int = 0):
                                      extra_refine)
 
 
-def posdef_solver(H, mixed: bool):
+def posdef_solver(H, mixed: bool, exact_fallback: bool = True):
     """Factor H once and return a ``solve(rhs)`` closure: the mixed
     Jacobi-scaled f32 + f64-refinement path when ``mixed`` and H is f64,
     else a robust (jitter-ladder) native Cholesky.  The shared factor
-    dispatch of the primal-dual engines (ops/pd.py, ops/socp_pd.py)."""
+    dispatch of the primal-dual engines (ops/pd.py, ops/socp_pd.py);
+    see ``mixed_posdef_factor_solve`` for ``exact_fallback``."""
     if mixed and H.dtype == jnp.float64:
         fac = mixed_posdef_prepare(H)
-        return lambda rhs: mixed_posdef_factor_solve(fac, rhs)
+        return lambda rhs: mixed_posdef_factor_solve(
+            fac, rhs, exact_fallback=exact_fallback)
     L = robust_cholesky(H)
     return lambda rhs: chol_solve(L, rhs)
 

@@ -354,7 +354,8 @@ def _pd_step_core(foreach_c, dhi_ref, dlo_ref, qhi, qlo, zhi, zlo,
         rdn2 = rdn2 + jnp.abs(ap - ad) * jnp.max(jnp.abs(pdh) * colmask)
 
     return dict(znh=znh, znl=znl, gap2=gap2, rpn2=rpn2, rdn2=rdn2,
-                ap=ap, ad=ad, sigma=sigma, srn2=srn2, sbn2=sbn2)
+                ap=ap, ad=ad, sigma=sigma, srn2=srn2, sbn2=sbn2,
+                gap_pre=gap, rpn_pre=rpn, rdn_pre=rdn)
 
 
 def _pd_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, qhi_ref, qlo_ref,
@@ -389,6 +390,15 @@ def _pd_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, qhi_ref, qlo_ref,
     # refinement can never certify a convergence the direction didn't earn
     stats_ref[0, 6] = out["srn2"][0, 0]
     stats_ref[0, 7] = out["sbn2"][0, 0]
+    # EXACT (gap, ‖rp‖∞, ‖rd‖∞) of the PRE-step iterate, recomputed by
+    # pass 1 from the carried dd state: the driver's second exit test —
+    # when a stalled late-stage refinement keeps solve_ok false forever,
+    # these still certify the converged iterate (at most one extra
+    # iteration late) instead of burning to pd_max_iters.
+    stats_ref[0, 8] = out["gap_pre"][0, 0]
+    stats_ref[0, 9] = out["rpn_pre"][0, 0]
+    stats_ref[0, 10] = out["rdn_pre"][0, 0]
+    stats_ref[0, 11] = 0.0
 
 
 def pd_step_prepared(consts: ReducedConsts, q, z, s, lam, tP=None, *,
@@ -398,8 +408,11 @@ def pd_step_prepared(consts: ReducedConsts, q, z, s, lam, tP=None, *,
 
     Args: q/z f64 (r,); s/lam f64 (k,) strictly positive (padded rows —
     consts pads to kp — enter as s=1, λ=0 and are exact fixed points).
-    Returns (z', s', lam', stats) with stats = [gap, rp∞, rd∞, αp, αd, σ]
-    (f32).  Call under jit; see ops/pd.py for the while_loop driver.
+    Returns (z', s', lam', stats) with stats (f32, 12) =
+    [gap', rp'∞, rd'∞, αp, αd, σ, srn2, sbn2, gap, rp∞, rd∞, 0] — primed
+    entries are post-step (rp'/rd' by (1−α)-contraction bookkeeping),
+    unprimed the exact pre-step values recomputed from the carried
+    state.  Call under jit; see ops/pd.py for the while_loop driver.
     """
     k, r = consts.k, consts.r
     rp = _pad(r)
@@ -433,7 +446,7 @@ def pd_step_prepared(consts: ReducedConsts, q, z, s, lam, tP=None, *,
                 jax.ShapeDtypeStruct((1, rp), jnp.float32),
                 jax.ShapeDtypeStruct((kp, 2), jnp.float32),
                 jax.ShapeDtypeStruct((kp, 2), jnp.float32),
-                jax.ShapeDtypeStruct((1, 8), jnp.float32),
+                jax.ShapeDtypeStruct((1, 12), jnp.float32),
             ),
             in_specs=_c_in_specs(stream)
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,

@@ -197,8 +197,19 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
     ll0 = jnp.where(flb > 0, jnp.clip(1.0 / sl0, 1e-6, 1e6), 0.0)
     y0 = jnp.zeros(F.shape[0] if has_eq else 0, dtype)
 
+    # On TPU the stall fallback inside mixed_posdef_factor_solve is an
+    # EMULATED-f64 blocked Cholesky (~60× an f32 factor); it fired on
+    # most late NT systems and dominated the measured per-iteration cost
+    # (n=1000: ~106 ms/it on v5e where the f32 factor is ~3 ms).  This
+    # engine recomputes the true KKT residuals every iteration and
+    # refines the block elimination against the matrix-free h_op, so
+    # direction-grade solves suffice there.  On CPU/GPU the fallback is
+    # a native f64 factor — cheap — and is kept for the extra late-stage
+    # direction quality.
+    exact_fb = jax.default_backend() != "tpu"
+
     def prepare(H):
-        return posdef_solver(H, mixed)
+        return posdef_solver(H, mixed, exact_fallback=exact_fb)
 
     def body(st):
         (x, y, s, z, su, lu, sl, ll, it, *_) = st
@@ -273,8 +284,12 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
                 # true-residual KKT refinement (factors reused): the
                 # block elimination's κ(H)·eps error floors the dual
                 # residual otherwise (same scheme as the row-sharded
-                # barrier, parallel/distributed.py)
-                for _ in range(2):
+                # barrier, parallel/distributed.py).  4 rounds: each is
+                # matvec-cheap (h_op einsums + the reused factors), and
+                # with the exact-f64 fallback disabled in prepare() the
+                # refinement is the ONLY mechanism recovering late-stage
+                # direction accuracy.
+                for _ in range(4):
                     e1 = r1 - (h_op(dx) + F.T @ dy)
                     e2 = -rpe - F @ dx
                     f = solve_s(F @ solve_h(e1) - e2)
@@ -283,7 +298,7 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
             else:
                 dy = jnp.zeros(0, dtype)
                 dx = solve_h(r1)
-                for _ in range(1):
+                for _ in range(3):
                     dx = dx + solve_h(r1 - h_op(dx))
             ds = jnp.einsum("kmn,n->km", G, dx, precision=_HIGHEST) + rp
             dz = w_inv_mul(uw, eta, t) - winv2(ds)
