@@ -39,10 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 from . import dd
 from .pallas_chol import BLK
 from .pallas_newton import (CH, ReducedConsts, _STREAM_MAX_ROWS,
-                            _c_in_specs, _chol_solve_ref, _common_scratch,
+                            _c_in_specs, _chol_invert_ref,
+                            _chol_solve_ref, _common_scratch,
                             _dd_pmatvec_row, _dd_recip, _equilibrate,
                             _factor_jittered, _make_foreach, _pad, _padk,
-                            _pad2)
+                            _pad2, _refined_solve, _w_solve)
 
 _GAMMA = 0.99995
 
@@ -55,7 +56,7 @@ def pd_supported(k: int, r: int, has_P: bool) -> bool:
     out, the d pair) vs the Newton kernel's 10·kp."""
     kp, rp = _padk(k), _pad(r)
     words = (2 * kp * rp                      # Chi/Clo inputs
-             + (4 + (2 if has_P else 0)) * rp * rp
+             + (5 + (2 if has_P else 0)) * rp * rp
              + 14 * CH * rp                   # slab dd temporaries
              + 26 * kp)                       # per-row state (see above)
     return words * 4 <= 110 * 1024 * 1024 and rp <= 1536
@@ -64,7 +65,7 @@ def pd_supported(k: int, r: int, has_P: bool) -> bool:
 def pd_supported_streaming(k: int, r: int, has_P: bool) -> bool:
     """HBM-streaming envelope for the PD step kernel (C pair in HBM)."""
     kp, rp = _padk(k), _pad(r)
-    words = ((4 + (2 if has_P else 0)) * rp * rp
+    words = ((5 + (2 if has_P else 0)) * rp * rp
              + 4 * CH * rp                    # double-buffered C window
              + 14 * CH * rp
              + 26 * kp)
@@ -83,7 +84,7 @@ def pd_kernel_mode(k: int, r: int, has_P: bool):
 
 def _pd_step_core(foreach_c, dhi_ref, dlo_ref, qhi, qlo, zhi, zlo,
                   s_ref, lam_ref, tPhi, tPlo,
-                  l_ref, dinv_ref, x_ref, vec_ref, vec2_ref,
+                  l_ref, dinv_ref, x_ref, vec_ref, w_ref, vec2_ref,
                   *, nb: int, nck: int, refine: int, has_P: bool, r: int,
                   rp: int, k: int, kcnt: float):
     """One PD iteration; returns (z', s'λ' written to refs by caller)…
@@ -166,11 +167,10 @@ def _pd_step_core(foreach_c, dhi_ref, dlo_ref, qhi, qlo, zhi, zlo,
         H32 = H32 + tPhi
     Hs, dsc_r, eye = _equilibrate(H32, r, rp)
     _factor_jittered(l_ref, dinv_ref, Hs, eye, nb)
+    _chol_invert_ref(l_ref, dinv_ref, w_ref, nb)
 
     def _precond_solve(rhs_row):
-        x_ref[:] = rhs_row
-        _chol_solve_ref(l_ref, dinv_ref, x_ref, nb)
-        return x_ref[:]
+        return _w_solve(w_ref, rhs_row)
 
     def _apply_h(xh, xl):
         """True-operator dd matvec H x = Cᵀ(w ⊙ (C x)) (+ P x)."""
@@ -191,23 +191,22 @@ def _pd_step_core(foreach_c, dhi_ref, dlo_ref, qhi, qlo, zhi, zlo,
         return hxh, hxl
 
     def _solve_refined(bh, bl):
-        """dd-refined solve H x = b with the shared factor.  Also
-        returns the FINAL true-operator residual norms (rn2, bn2) in the
-        equilibrated metric — the solve-quality signal the driver's
-        convergence test gates on (a stalled refinement at κ(H)·eps32 > 1
-        must not let the (1−α)-contraction bookkeeping of rdn claim a
-        dual feasibility the direction never achieved)."""
-        xh = jnp.zeros((1, rp), jnp.float32)
-        xl = jnp.zeros((1, rp), jnp.float32)
-        rh, rl = bh, bl
-        for _ in range(refine):
-            corr = dsc_r * _precond_solve(rh * dsc_r)
-            xh, xl = dd.dd_add(xh, xl, corr, jnp.zeros_like(corr))
+        """dd-refined solve H x = b with the shared factor, with the
+        barrier kernel's cond-gated PCG stall escalation
+        (pallas_newton._refined_solve): plain refinement diverges once
+        κ(Hs)·eps32 > 1, which late Mehrotra systems (μ → gap_tol)
+        reach routinely — without the escalation the measured true dual
+        residual floors at ~1e-2 and then blows up while the
+        (1−α)-contraction bookkeeping keeps shrinking.  Also returns
+        the FINAL true-operator residual norms (rn2, bn2) in the
+        equilibrated metric for the driver's solve-quality gate."""
+        def dd_resid(xh, xl):
             hxh, hxl = _apply_h(xh, xl)
-            rh, rl = dd.dd_add(bh, bl, -hxh, -hxl)
-        rn2 = jnp.sum((rh * dsc_r) ** 2)[None, None]
-        bn2 = jnp.sum((bh * dsc_r) ** 2)[None, None]
-        return xh, xl, rn2, bn2
+            return dd.dd_add(bh, bl, -hxh, -hxl)
+
+        xh, xl, _, _, rn2, bn2 = _refined_solve(
+            _precond_solve, dd_resid, Hs, dsc_r, -bh, -bl, refine, rp)
+        return xh, xl, rn2[None, None], bn2[None, None]
 
     # ---- rhs builder + direction: t = (rc − λ·rp)/s per row ------------
     def _direction(sig_mu, use_corr):
@@ -366,7 +365,7 @@ def _pd_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, qhi_ref, qlo_ref,
                     r: int, rp: int, k: int, kcnt: float, stream: bool):
     foreach_c, scratch = _make_foreach(Chi_ref, Clo_ref, scratch, nck,
                                        stream)
-    l_ref, dinv_ref, x_ref, vec_ref, vec2_ref = scratch
+    l_ref, dinv_ref, x_ref, vec_ref, w_ref, vec2_ref = scratch
     # copy the (s, λ) state into the working columns
     vec2_ref[:, 4:6] = sin_ref[:]
     vec_ref[:, 6:8] = lamin_ref[:]
@@ -374,7 +373,7 @@ def _pd_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, qhi_ref, qlo_ref,
         foreach_c, dhi_ref, dlo_ref, qhi_ref[:], qlo_ref[:],
         zhi_ref[:], zlo_ref[:], sout_ref, lamout_ref,
         tPhi_ref[:], tPlo_ref[:],
-        l_ref, dinv_ref, x_ref, vec_ref, vec2_ref,
+        l_ref, dinv_ref, x_ref, vec_ref, w_ref, vec2_ref,
         nb=nb, nck=nck, refine=refine, has_P=has_P, r=r, rp=rp, k=k,
         kcnt=kcnt)
     znh_ref[:] = out["znh"]
@@ -456,7 +455,7 @@ def pd_step_prepared(consts: ReducedConsts, q, z, s, lam, tP=None, *,
             # strips the trailing 3 scratch entries in stream mode
             scratch_shapes=(_common_scratch(kp, rp, False)
                             + [pltpu.VMEM((kp, 8), jnp.float32)]
-                            + _common_scratch(kp, rp, stream)[4:]),
+                            + _common_scratch(kp, rp, stream)[5:]),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024),
             interpret=interpret,

@@ -87,7 +87,8 @@ def main():
     step = jax.jit(lambda z_, s_, l_: pd_step_prepared(
         consts, q, z_, s_, l_, tP, refine=3, stream=mode == "stream"))
 
-    names = ["gap", "rp", "rd", "ap", "ad", "sigma", "srn2", "sbn2"]
+    names = ["gap", "rp", "rd", "ap", "ad", "sigma", "srn2", "sbn2",
+             "gap_pre", "rp_pre", "rd_pre", "pad"]
     for it in range(60):
         z, s, lam, stats = step(z, s, lam)
         row = np.asarray(stats)
