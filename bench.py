@@ -322,6 +322,25 @@ def main():
               file=sys.stderr)
     geomean = (float(np.exp(np.mean(np.log(speedups))))
                if speedups else None)
+
+    # Large-n showcase row (outside the n=1000 geomean): the fused
+    # Mehrotra engine at the reference's largest benchmark shape — the
+    # regime where the round-2/3 kernels changed the story most.
+    if args.n == 1000:
+        try:
+            mean_s, _, val, _ = bench_lp(5000, 2, args.dtype,
+                                         algorithm="pd")
+            b5 = BASELINES["lp"][5000]
+            rows["lp5000_pd"] = {"seconds": round(mean_s, 4),
+                                 "objective": round(float(val), 6),
+                                 "t4_baseline_s": b5,
+                                 "speedup_vs_t4": round(b5 / mean_s, 3)}
+            print(f"# lp-pd n=5000: {mean_s:.4f}s "
+                  f"({b5 / mean_s:.1f}x vs T4)", file=sys.stderr)
+        except Exception as e:
+            print(f"# lp-pd n=5000 FAILED: {e!r}", file=sys.stderr)
+            rows["lp5000_pd"] = {"error": str(e)[:200]}
+
     print(json.dumps({
         "metric": f"all_n{args.n}_geomean_speedup_vs_t4",
         "value": (round(geomean, 3) if geomean else None),

@@ -496,11 +496,27 @@ def make_phase1_linear_oracle(prob) -> Oracle:
         cands = _cand_slacks(z, dz, sigmas)
         ok = jnp.ones(sigmas.shape[0], dtype=bool)
         for cs in cands:
-            ok = ok & jnp.all(cs > 0.0, axis=0)
+            ok = ok & (cs > 0.0).all(axis=0)
         vals = t * (z[-1] + sigmas * dz[-1])
         for cs in cands:
             vals = vals - jnp.sum(jnp.log(cs + SLACK_EPS), axis=0)
         return ok, vals
+
+    # Single-block linear form over the augmented variable: the phase-one
+    # problem IS an LP in z = [x, s] — barrier rows [C | −1]·z ≤ d, cost
+    # e_s — so the fused Pallas Newton-step kernel applies to phase one
+    # too (round 3; the slow phase-1 XLA path dominated the end-to-end
+    # barrier solve wherever the least-squares interior init failed:
+    # measured LP n=5000, 2.57 s total vs ~0.23 s of fused main-stage
+    # steps).  Same gate as the main oracle: bounds must already be
+    # folded into C (the reduced pipeline's form).
+    lin_form = None
+    if prob.C is not None and prob.lb is None and prob.ub is None:
+        k = prob.C.shape[0]
+        Cp = jnp.concatenate(
+            [prob.C, -jnp.ones((k, 1), prob.C.dtype)], axis=1)
+        cost = jnp.zeros((nz,), prob.C.dtype).at[-1].set(1.0)
+        lin_form = (Cp, prob.d, cost, None)
 
     def ls_grads(z, dz, t, sigmas):
         raise NotImplementedError(
@@ -510,4 +526,4 @@ def make_phase1_linear_oracle(prob) -> Oracle:
 
     return Oracle(n=nz, diag_hessian=False, obj=obj, grad=grad, hess=hess,
                   newton_obj=newton_obj, min_slack=min_slack,
-                  ls_grads=ls_grads, ls_objs=ls_objs)
+                  ls_grads=ls_grads, ls_objs=ls_objs, lin_form=lin_form)

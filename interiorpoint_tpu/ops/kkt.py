@@ -110,18 +110,61 @@ _MIXED_MAX_REFINE = 20
 _MIXED_RTOL = 1e-13
 
 
+def robust_cholesky32(Hs32):
+    """f32 ``robust_cholesky`` returning ``(L, Dinv)``.
+
+    On TPU, within the Pallas envelope, the factor runs as ONE Pallas
+    kernel (ops/pallas_chol.py) — XLA:TPU lowers ``cholesky`` to a
+    blocked multi-op program whose sequential latency (~25 ms at n≈1000
+    f32) dwarfs its FLOPs, and it was the measured per-iteration floor
+    of every XLA-path factor (conic Mehrotra: ~2 XLA factors ≈ 50 ms of
+    its ~100 ms/iteration).  ``Dinv`` (inverted diagonal blocks) makes
+    subsequent solves substitution-free; None on the XLA fallback."""
+    n = Hs32.shape[0]
+    if jax.default_backend() == "tpu":
+        from .pallas_chol import cholesky_blocked, supported
+        if supported(n):
+            scale = jnp.mean(jnp.diag(Hs32))
+            eye = jnp.eye(n, dtype=Hs32.dtype)
+            jitters = jnp.asarray(_JITTERS, dtype=Hs32.dtype)
+            L0, D0 = cholesky_blocked(Hs32)
+
+            def cond(c):
+                i, L, _ = c
+                return (~jnp.all(jnp.isfinite(L))) & (i < len(_JITTERS))
+
+            def body(c):
+                i, _, _ = c
+                L, D = cholesky_blocked(Hs32 + (jitters[i] * scale) * eye)
+                return i + 1, L, D
+
+            _, L, D = lax.while_loop(
+                cond, body, (jnp.ones((), jnp.int32), L0, D0))
+            return L, D
+    return robust_cholesky(Hs32), None
+
+
+def _f32_factor_solve(L32, Dinv, B32):
+    """Solve (L Lᵀ) X = B in f32 with the factor from
+    ``robust_cholesky32`` (fused Pallas solve when Dinv is present)."""
+    if Dinv is not None:
+        from .pallas_chol import cholesky_solve_blocked
+        return cholesky_solve_blocked(L32, Dinv, B32)
+    return chol_solve(L32, B32)
+
+
 def mixed_posdef_prepare(H):
     """Factor H (f64) once for repeated right-hand sides: Jacobi scale +
-    f32 Cholesky of the scaled system.  Returns ``(d, Hs, L32)`` consumed
-    by ``mixed_posdef_factor_solve`` — the factor-reuse form of
+    f32 Cholesky of the scaled system.  Returns ``(d, Hs, L32, Dinv)``
+    consumed by ``mixed_posdef_factor_solve`` — the factor-reuse form of
     ``mixed_posdef_solve`` (used by the primal-dual engine, ops/pd.py,
     whose predictor and corrector share one factorization per iteration)."""
     dtype = H.dtype
     dg = jnp.diagonal(H)
     d = 1.0 / jnp.sqrt(jnp.maximum(dg, jnp.finfo(dtype).tiny))
     Hs = H * d[:, None] * d[None, :]
-    L32 = robust_cholesky(Hs.astype(jnp.float32))
-    return d, Hs, L32
+    L32, Dinv = robust_cholesky32(Hs.astype(jnp.float32))
+    return d, Hs, L32, Dinv
 
 
 def mixed_posdef_factor_solve(fac, B, extra_refine: int = 0,
@@ -136,14 +179,15 @@ def mixed_posdef_factor_solve(fac, B, extra_refine: int = 0,
     factor (module comment above) — so callers that recompute true KKT
     residuals themselves and only need direction-grade solves (the
     Mehrotra engines: ops/socp_pd.py, ops/pd.py) must not pay it."""
-    d, Hs, L32 = fac
+    d, Hs, L32, Dinv = fac
     dtype = Hs.dtype
 
     vec = B.ndim == 1
     Bs = (d * B) if vec else (d[:, None] * B)
 
     def solve32(R):
-        return chol_solve(L32, R.astype(jnp.float32)).astype(dtype)
+        return _f32_factor_solve(L32, Dinv,
+                                 R.astype(jnp.float32)).astype(dtype)
 
     bnorm = jnp.linalg.norm(Bs)
     max_steps = _MIXED_MAX_REFINE + extra_refine
@@ -225,11 +269,12 @@ def matrix_free_posdef_solve(H_pre, apply_h, b, *, pcg_iters: int = 48,
     dsc = 1.0 / jnp.sqrt(jnp.maximum(dg, jnp.finfo(dtype).tiny))
     dsc32 = dsc.astype(jnp.float32)
     Hs32 = H_pre.astype(jnp.float32) * dsc32[:, None] * dsc32[None, :]
-    L32 = robust_cholesky(Hs32)
+    L32, Dinv = robust_cholesky32(Hs32)
 
     def prec(r):
         """Scaled-space preconditioner solve of a f64 residual."""
-        y = chol_solve(L32, (r * dsc).astype(jnp.float32)).astype(dtype)
+        y = _f32_factor_solve(
+            L32, Dinv, (r * dsc).astype(jnp.float32)).astype(dtype)
         return y * dsc
 
     bnorm = jnp.linalg.norm(b * dsc)

@@ -153,9 +153,12 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
     # Fused Pallas fast path (TPU, f64, cholesky, single-block linear form):
     # one kernel per Newton step computes slacks/gradient/Hessian/factor/
     # dd-refined solve with no emulated-f64 ops (ops/pallas_newton.py).
+    # (Phase one included: its oracle exposes the augmented [C | −1]
+    # linear form, and the early-exit predicate below is engine-agnostic
+    # — it tests the post-step iterate, however the step was produced.)
     use_fused = False
     fused_stream = False
-    if (not phase1_flag and oracle.lin_form is not None
+    if (oracle.lin_form is not None
             and cfg.use_pallas and cfg.mixed_precision
             and cfg.kkt_strategy == "cholesky" and not oracle.diag_hessian
             and dtype == jnp.float64

@@ -191,3 +191,31 @@ def test_lp_qp_oracle_dd_path_matches_f64(is_qp):
     np.testing.assert_allclose(np.asarray(vdd)[np.asarray(ok64)],
                                np.asarray(v64)[np.asarray(ok64)],
                                rtol=1e-11, atol=1e-9)
+
+
+def test_phase1_lin_form_matches_oracle():
+    """The phase-one oracle's augmented linear form ([C | -1] z <= d,
+    cost e_s) must agree with its own slack/gradient definitions — the
+    fused Pallas kernel consumes the form on TPU (round 3)."""
+    rng = np.random.default_rng(7)
+    k, r = 12, 5
+    C = jnp.asarray(rng.standard_normal((k, r)))
+    d = jnp.asarray(rng.standard_normal(k))
+    prob = make_lp(c=rng.standard_normal(r), C=C, d=d)
+    oracle = make_phase1_linear_oracle(prob)
+    Cp, dp, cost, P = oracle.lin_form
+    assert P is None and Cp.shape == (k, r + 1)
+
+    x = jnp.asarray(rng.standard_normal(r))
+    s = jnp.asarray(float(jnp.max(C @ x - d)) + 2.0)  # strictly feasible
+    z = jnp.concatenate([x, s[None]])
+    # slack parity: d' - C' z == the oracle's slack parts
+    slack_form = dp - Cp @ z
+    np.testing.assert_allclose(np.asarray(slack_form),
+                               np.asarray(d - C @ x + s), rtol=1e-14)
+    # gradient parity: t*cost + C'^T (1/slack) == oracle.grad
+    t = 3.7
+    g_form = t * cost + Cp.T @ (1.0 / slack_form)
+    np.testing.assert_allclose(np.asarray(g_form),
+                               np.asarray(oracle.grad(z, t)),
+                               rtol=1e-12, atol=1e-12)
