@@ -171,28 +171,48 @@ def _chol_solve_ref(l_ref, dinv_ref, x_ref, nb: int):
     lax.fori_loop(0, nb, bwd, 0)
 
 
-def _chol_invert_ref(l_ref, dinv_ref, w_ref, nb: int):
-    """Blocked triangular inverse W = L⁻¹ into ``w_ref`` (strict upper
-    zeroed), from the blocked factor of ``_chol_factor_ref``.
+def _chol_invert_ref(l_ref, dinv_ref, nb: int):
+    """Blocked triangular inverse W = L⁻¹ computed IN PLACE over
+    ``l_ref`` (strict upper zeroed), from the blocked factor of
+    ``_chol_factor_ref``.
 
     Why: the preconditioner is applied many times per step (refine
     rounds, and 48×3 inside the PCG stall escalation), and every
     ``_chol_solve_ref`` is a SEQUENTIAL pair of block-substitution loops
-    of tiny (1, BLK)×(BLK, BLK) dots — the measured ~1 ms serial floor
-    of the fused step, and ~30 ms per PCG-escalated step.  Inverting L
-    once per factorization (nb³/6 MXU block-matmuls) turns every solve
-    into two full-width (1, rp)×(rp, rp) MXU dots.  W is only ever a
+    of tiny (1, BLK)×(BLK, BLK) dots.  Inverting L once per
+    factorization (nb³/6 MXU block-matmuls) turns every solve into two
+    full-width (1, rp)×(rp, rp) MXU dots.  W is only ever a
     preconditioner: its κ(L)·eps32 application error is absorbed by the
     dd refinement / PCG that wraps it.
 
-    W_kk = L_kk⁻¹ (already in dinv_ref); for i > k,
-    W_ik = −L_ii⁻¹ · Σ_{j=k..i−1} L_ij W_jk.
+    In place (no extra rp² scratch — a separate W buffer pushed real
+    kernel shapes past the 128 MB VMEM cap): processing columns
+    ascending and rows ascending, every read the update needs is still
+    live — W_ik = −L_ii⁻¹·Σ_{j=k..i−1} L_ij W_jk reads L_ij at
+    (i, j>k)-positions not yet overwritten (and L_ik at (i, k) before
+    the write to that slot), W_jk at (j, k)-positions already written,
+    and W_kk = L_kk⁻¹ comes from dinv_ref.
     """
-    w_ref[:] = jnp.zeros_like(w_ref[:])
+    # zero the strict-upper blocks: they still hold the INPUT matrix
+    # (the factor only wrote the lower triangle) and would corrupt the
+    # full-width solve dots
+    def zcol(kb, _):
+        k0 = pl.multiple_of(kb * BLK, BLK)
+
+        def zrow(ib, _):
+            i0 = pl.multiple_of(ib * BLK, BLK)
+            l_ref[pl.ds(i0, BLK), pl.ds(k0, BLK)] = jnp.zeros(
+                (BLK, BLK), jnp.float32)
+            return 0
+
+        lax.fori_loop(0, kb, zrow, 0)
+        return 0
+
+    lax.fori_loop(0, nb, zcol, 0)
 
     def col(kb, _):
         k0 = pl.multiple_of(kb * BLK, BLK)
-        w_ref[pl.ds(k0, BLK), pl.ds(k0, BLK)] = dinv_ref[pl.ds(k0, BLK), :]
+        l_ref[pl.ds(k0, BLK), pl.ds(k0, BLK)] = dinv_ref[pl.ds(k0, BLK), :]
 
         def row(ib, _):
             i0 = pl.multiple_of(ib * BLK, BLK)
@@ -200,11 +220,11 @@ def _chol_invert_ref(l_ref, dinv_ref, w_ref, nb: int):
             def sub(j, A):
                 j0 = pl.multiple_of(j * BLK, BLK)
                 return A + _dot(l_ref[pl.ds(i0, BLK), pl.ds(j0, BLK)],
-                                w_ref[pl.ds(j0, BLK), pl.ds(k0, BLK)])
+                                l_ref[pl.ds(j0, BLK), pl.ds(k0, BLK)])
 
             A = lax.fori_loop(kb, ib, sub,
                               jnp.zeros((BLK, BLK), jnp.float32))
-            w_ref[pl.ds(i0, BLK), pl.ds(k0, BLK)] = -_dot(
+            l_ref[pl.ds(i0, BLK), pl.ds(k0, BLK)] = -_dot(
                 dinv_ref[pl.ds(i0, BLK), :], A)
             return 0
 
@@ -353,7 +373,7 @@ def _factor_jittered(l_ref, dinv_ref, Hs, eye, nb: int):
 
 def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
                     zhi, zlo, tPhi, tPlo,
-                    l_ref, dinv_ref, x_ref, vec_ref, w_ref,
+                    l_ref, dinv_ref, x_ref, vec_ref,
                     *, nb: int, refine: int, has_P: bool, r: int,
                     rp: int):
     """Shared kernel core: slacks -> gradient -> f32 factor -> dd-refined
@@ -407,10 +427,10 @@ def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
         H32 = H32 + tPhi
     Hs, dsc_r, eye = _equilibrate(H32, r, rp)
     _factor_jittered(l_ref, dinv_ref, Hs, eye, nb)
-    _chol_invert_ref(l_ref, dinv_ref, w_ref, nb)
+    _chol_invert_ref(l_ref, dinv_ref, nb)   # l_ref now holds W = L^-1
 
     def _precond_solve(rhs_row):
-        return _w_solve(w_ref, rhs_row)
+        return _w_solve(l_ref, rhs_row)
 
     def _dd_resid(xh, xl):
         """r = -g - H x, dd, matrix-free against the true operator
@@ -510,12 +530,12 @@ def _newton_dir_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
                        dxhi_ref, dxlo_ref, ghi_ref, glo_ref, rn_ref,
                        *scratch, nb: int, nck: int, refine: int,
                        has_P: bool, r: int, rp: int, stream: bool):
-    foreach_c, (l_ref, dinv_ref, x_ref, vec_ref, w_ref) = _make_foreach(
+    foreach_c, (l_ref, dinv_ref, x_ref, vec_ref) = _make_foreach(
         Chi_ref, Clo_ref, scratch, nck, stream)
     out = _direction_core(
         foreach_c, dhi_ref, dlo_ref, tchi_ref[:],
         tclo_ref[:], zhi_ref[:], zlo_ref[:], tPhi_ref[:], tPlo_ref[:],
-        l_ref, dinv_ref, x_ref, vec_ref, w_ref,
+        l_ref, dinv_ref, x_ref, vec_ref,
         nb=nb, refine=refine, has_P=has_P, r=r, rp=rp)
     dxhi_ref[:] = out["xh"]
     dxlo_ref[:] = out["xl"]
@@ -562,13 +582,13 @@ def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
     Selection = largest accepted sigma, identical to the reference's
     sequential shrink (reference: NewtonSolver.py:157-206).
     """
-    foreach_c, (l_ref, dinv_ref, x_ref, vec_ref, w_ref) = _make_foreach(
+    foreach_c, (l_ref, dinv_ref, x_ref, vec_ref) = _make_foreach(
         Chi_ref, Clo_ref, scratch, nck, stream)
     zhi, zlo = zhi_ref[:], zlo_ref[:]
     tPhi, tPlo = tPhi_ref[:], tPlo_ref[:]
     out = _direction_core(
         foreach_c, dhi_ref, dlo_ref, tchi_ref[:], tclo_ref[:],
-        zhi, zlo, tPhi, tPlo, l_ref, dinv_ref, x_ref, vec_ref, w_ref,
+        zhi, zlo, tPhi, tPlo, l_ref, dinv_ref, x_ref, vec_ref,
         nb=nb, refine=refine, has_P=has_P, r=r, rp=rp)
     xh, xl = out["xh"], out["xl"]
     gh, gl = out["gh"], out["gl"]
@@ -642,7 +662,7 @@ def supported(k: int, r: int, has_P: bool) -> bool:
     """
     kp, rp = _padk(k), _pad(r)
     words = (2 * kp * rp                      # Chi/Clo inputs
-             + (5 + (2 if has_P else 0)) * rp * rp   # Hs, L, W, [tP pair]
+             + (4 + (2 if has_P else 0)) * rp * rp   # Hs, L, [tP pair]
              + 14 * CH * rp                   # slab dd temporaries
              + 10 * kp)                       # vec_ref and (kp,1) vectors
     return words * 4 <= 110 * 1024 * 1024 and rp <= 1536
@@ -658,7 +678,7 @@ def supported_streaming(k: int, r: int, has_P: bool) -> bool:
     only H/L/[tP], the double-buffered slab window, slab dd temporaries,
     and the per-row vec_ref must fit VMEM."""
     kp, rp = _padk(k), _pad(r)
-    words = ((5 + (2 if has_P else 0)) * rp * rp    # Hs, L, W, [tP pair]
+    words = ((4 + (2 if has_P else 0)) * rp * rp    # Hs, L, [tP pair]
              + 4 * CH * rp                   # double-buffered C window
              + 14 * CH * rp                  # slab dd temporaries
              + 10 * kp)                      # vec_ref and (kp,1) vectors
@@ -709,13 +729,13 @@ def _c_in_specs(stream: bool):
 
 
 def _common_scratch(kp: int, rp: int, stream: bool):
-    """l/dinv/x/vec/w scratch (+ streaming slab window and DMA sems)."""
+    """l/dinv/x/vec scratch (+ streaming slab window and DMA sems);
+    l_ref is reused in place for W = L⁻¹ (_chol_invert_ref)."""
     shapes = [
         pltpu.VMEM((rp, rp), jnp.float32),
         pltpu.VMEM((rp, BLK), jnp.float32),
         pltpu.VMEM((1, rp), jnp.float32),
         pltpu.VMEM((kp, 8), jnp.float32),
-        pltpu.VMEM((rp, rp), jnp.float32),      # W = L⁻¹ (_chol_invert_ref)
     ]
     if stream:
         shapes += [

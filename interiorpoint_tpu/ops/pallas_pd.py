@@ -56,7 +56,7 @@ def pd_supported(k: int, r: int, has_P: bool) -> bool:
     out, the d pair) vs the Newton kernel's 10·kp."""
     kp, rp = _padk(k), _pad(r)
     words = (2 * kp * rp                      # Chi/Clo inputs
-             + (5 + (2 if has_P else 0)) * rp * rp
+             + (4 + (2 if has_P else 0)) * rp * rp
              + 14 * CH * rp                   # slab dd temporaries
              + 26 * kp)                       # per-row state (see above)
     return words * 4 <= 110 * 1024 * 1024 and rp <= 1536
@@ -65,7 +65,7 @@ def pd_supported(k: int, r: int, has_P: bool) -> bool:
 def pd_supported_streaming(k: int, r: int, has_P: bool) -> bool:
     """HBM-streaming envelope for the PD step kernel (C pair in HBM)."""
     kp, rp = _padk(k), _pad(r)
-    words = ((5 + (2 if has_P else 0)) * rp * rp
+    words = ((4 + (2 if has_P else 0)) * rp * rp
              + 4 * CH * rp                    # double-buffered C window
              + 14 * CH * rp
              + 26 * kp)
@@ -84,7 +84,7 @@ def pd_kernel_mode(k: int, r: int, has_P: bool):
 
 def _pd_step_core(foreach_c, dhi_ref, dlo_ref, qhi, qlo, zhi, zlo,
                   s_ref, lam_ref, tPhi, tPlo,
-                  l_ref, dinv_ref, x_ref, vec_ref, w_ref, vec2_ref,
+                  l_ref, dinv_ref, x_ref, vec_ref, vec2_ref,
                   *, nb: int, nck: int, refine: int, has_P: bool, r: int,
                   rp: int, k: int, kcnt: float):
     """One PD iteration; returns (z', s'λ' written to refs by caller)…
@@ -167,10 +167,10 @@ def _pd_step_core(foreach_c, dhi_ref, dlo_ref, qhi, qlo, zhi, zlo,
         H32 = H32 + tPhi
     Hs, dsc_r, eye = _equilibrate(H32, r, rp)
     _factor_jittered(l_ref, dinv_ref, Hs, eye, nb)
-    _chol_invert_ref(l_ref, dinv_ref, w_ref, nb)
+    _chol_invert_ref(l_ref, dinv_ref, nb)   # l_ref now holds W = L^-1
 
     def _precond_solve(rhs_row):
-        return _w_solve(w_ref, rhs_row)
+        return _w_solve(l_ref, rhs_row)
 
     def _apply_h(xh, xl):
         """True-operator dd matvec H x = Cᵀ(w ⊙ (C x)) (+ P x)."""
@@ -365,7 +365,7 @@ def _pd_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, qhi_ref, qlo_ref,
                     r: int, rp: int, k: int, kcnt: float, stream: bool):
     foreach_c, scratch = _make_foreach(Chi_ref, Clo_ref, scratch, nck,
                                        stream)
-    l_ref, dinv_ref, x_ref, vec_ref, w_ref, vec2_ref = scratch
+    l_ref, dinv_ref, x_ref, vec_ref, vec2_ref = scratch
     # copy the (s, λ) state into the working columns
     vec2_ref[:, 4:6] = sin_ref[:]
     vec_ref[:, 6:8] = lamin_ref[:]
@@ -373,7 +373,7 @@ def _pd_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, qhi_ref, qlo_ref,
         foreach_c, dhi_ref, dlo_ref, qhi_ref[:], qlo_ref[:],
         zhi_ref[:], zlo_ref[:], sout_ref, lamout_ref,
         tPhi_ref[:], tPlo_ref[:],
-        l_ref, dinv_ref, x_ref, vec_ref, w_ref, vec2_ref,
+        l_ref, dinv_ref, x_ref, vec_ref, vec2_ref,
         nb=nb, nck=nck, refine=refine, has_P=has_P, r=r, rp=rp, k=k,
         kcnt=kcnt)
     znh_ref[:] = out["znh"]
@@ -455,7 +455,7 @@ def pd_step_prepared(consts: ReducedConsts, q, z, s, lam, tP=None, *,
             # strips the trailing 3 scratch entries in stream mode
             scratch_shapes=(_common_scratch(kp, rp, False)
                             + [pltpu.VMEM((kp, 8), jnp.float32)]
-                            + _common_scratch(kp, rp, stream)[5:]),
+                            + _common_scratch(kp, rp, stream)[4:]),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024),
             interpret=interpret,

@@ -71,7 +71,7 @@ KP = BLK
 
 def _socp_core(foreach_a, E_ref, bhi_ref, blo_ref, chi_ref, clo_ref,
                dhi_ref, dlo_ref, tqhi, tqlo, zhi, zlo, tPhi, tPlo,
-               l_ref, dinv_ref, x_ref, vec_ref, w_ref,
+               l_ref, dinv_ref, x_ref, vec_ref,
                *, nb: int, refine: int, has_P: bool, r: int, rp: int):
     """Slacks -> gradient -> f32 factor -> dd-refined Newton direction.
 
@@ -168,10 +168,10 @@ def _socp_core(foreach_a, E_ref, bhi_ref, blo_ref, chi_ref, clo_ref,
 
     Hs, dsc_r, eye = _equilibrate(H32, r, rp)
     _factor_jittered(l_ref, dinv_ref, Hs, eye, nb)
-    _chol_invert_ref(l_ref, dinv_ref, w_ref, nb)
+    _chol_invert_ref(l_ref, dinv_ref, nb)   # l_ref now holds W = L^-1
 
     def _precond_solve(rhs_row):
-        return _w_solve(w_ref, rhs_row)
+        return _w_solve(l_ref, rhs_row)
 
     def _dd_resid(xh, xl):
         """r = -g - H x, dd, against the operator {exact curvature +
@@ -218,7 +218,7 @@ def _socp_step_kernel(Ahi_ref, Alo_ref, bhi_ref, blo_ref, E_ref,
                       chi_ref, clo_ref, dhi_ref, dlo_ref, tqhi_ref,
                       tqlo_ref, zhi_ref, zlo_ref, tPhi_ref, tPlo_ref,
                       sig_ref, xnh_ref, xnl_ref, dxh_ref, dxl_ref,
-                      stats_ref, l_ref, dinv_ref, x_ref, vec_ref, w_ref,
+                      stats_ref, l_ref, dinv_ref, x_ref, vec_ref,
                       *, nb: int, nck: int, refine: int, has_P: bool,
                       r: int, rp: int, alpha: float):
     """Full SOCP Newton step: direction + closed-form line search.
@@ -244,7 +244,7 @@ def _socp_step_kernel(Ahi_ref, Alo_ref, bhi_ref, blo_ref, E_ref,
     out = _socp_core(
         foreach_a, E_ref, bhi_ref, blo_ref, chi_ref, clo_ref, dhi_ref,
         dlo_ref, tqhi_ref[:], tqlo_ref[:], zhi, zlo, tPhi, tPlo,
-        l_ref, dinv_ref, x_ref, vec_ref, w_ref,
+        l_ref, dinv_ref, x_ref, vec_ref,
         nb=nb, refine=refine, has_P=has_P, r=r, rp=rp)
     xh, xl = out["xh"], out["xl"]
     gh, gl = out["gh"], out["gl"]
@@ -347,7 +347,7 @@ def supported(K: int, M: int, r: int, has_P: bool) -> bool:
     kmp, rp = _padk(K * M), _pad(r)
     words = (2 * kmp * rp                    # Ahi/Alo
              + kmp * KP                      # E
-             + (5 + (2 if has_P else 0)) * rp * rp   # Hs, L, W, [tP pair]
+             + (4 + (2 if has_P else 0)) * rp * rp   # Hs, L, [tP pair]
              + 2 * KP * rp                   # G32, Gw32
              + 14 * CH * rp                  # slab dd temporaries
              + 10 * kmp)                     # vec_ref and (kmp, 1) columns
@@ -444,7 +444,6 @@ def socp_newton_step_prepared(consts: SOCPConsts, tq, z, tP, sigmas, *,
                 pltpu.VMEM((rp, BLK), jnp.float32),
                 pltpu.VMEM((1, rp), jnp.float32),
                 pltpu.VMEM((kmp, 8), jnp.float32),
-                pltpu.VMEM((rp, rp), jnp.float32),   # W = L^-1
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024),
