@@ -109,18 +109,22 @@ def dd_reduce(hi, lo, axis: int):
 
     while hi.shape[axis] > 1:
         m = hi.shape[axis]
+        if m % 2:
+            # pad odd lengths with an exact zero slot instead of folding
+            # the remainder into slot 0: the fold produced a ZERO-SIZED
+            # concat operand once a stage reached m == 3 (h == 1), which
+            # Mosaic rejects ("vector types must have positive constant
+            # sizes") — hit by any rp with a factor of 3 (e.g. 384)
+            zshape = list(hi.shape)
+            zshape[axis] = 1
+            z = jnp.zeros(zshape, hi.dtype)
+            hi = jnp.concatenate([hi, z], axis=axis)
+            lo = jnp.concatenate([lo, z], axis=axis)
+            m += 1
         h = m // 2
         ah, al = take(hi, slice(0, h)), take(lo, slice(0, h))
         bh, bl = take(hi, slice(h, 2 * h)), take(lo, slice(h, 2 * h))
-        hi2, lo2 = dd_add(ah, al, bh, bl)
-        if m % 2:
-            rh, rl = take(hi, slice(2 * h, m)), take(lo, slice(2 * h, m))
-            # fold the odd remainder into the first slot
-            fh, fl = dd_add(take(hi2, slice(0, 1)), take(lo2, slice(0, 1)),
-                            rh, rl)
-            hi2 = jnp.concatenate([fh, take(hi2, slice(1, h))], axis=axis)
-            lo2 = jnp.concatenate([fl, take(lo2, slice(1, h))], axis=axis)
-        hi, lo = hi2, lo2
+        hi, lo = dd_add(ah, al, bh, bl)
     return hi, lo
 
 

@@ -68,7 +68,13 @@ from . import dd
 from .pallas_chol import BLK, _factor_diag_block
 
 # Rows per chunked pass over C inside the kernel (see _direction_core).
-CH = 512
+# 256 (was 512): the dd slab temporaries live across Mosaic's scheduler
+# as register-allocator SPILL SLOTS — measured 71 MB of spills at
+# CH=512/rp=1024 on the pd stream kernel (the compiler's largest single
+# allocation), pushing the n=5000 pd and n=1000 SOCP benchmark shapes
+# past the 128 MB VMEM cap.  Halving CH halves every live slab value;
+# the (CH, rp) Gram/matvec dots stay MXU-sized.
+CH = 256
 
 
 def _pad(n: int) -> int:
@@ -137,48 +143,14 @@ def _chol_factor_ref(l_ref, dinv_ref, nb: int):
     lax.fori_loop(0, nb, col_block, 0)
 
 
-def _chol_solve_ref(l_ref, dinv_ref, x_ref, nb: int):
-    """Solve (L L^T) x = r in row space, in place on ``x_ref`` (1, rp)
-    preloaded with r.  Forward: y_k = (r_k - sum_{j<k} y_j L_kj^T) Dinv_k^T;
-    backward: x_k = (y_k - sum_{j>k} x_j L_jk) Dinv_k."""
-    def fwd(kb, _):
-        k0 = pl.multiple_of(kb * BLK, BLK)
-
-        def sub(j, a):
-            j0 = pl.multiple_of(j * BLK, BLK)
-            Lkj = l_ref[pl.ds(k0, BLK), pl.ds(j0, BLK)]
-            return a - _dot_nt(x_ref[:, pl.ds(j0, BLK)], Lkj)
-
-        acc = lax.fori_loop(0, kb, sub, x_ref[:, pl.ds(k0, BLK)])
-        x_ref[:, pl.ds(k0, BLK)] = _dot_nt(acc, dinv_ref[pl.ds(k0, BLK), :])
-        return 0
-
-    lax.fori_loop(0, nb, fwd, 0)
-
-    def bwd(i, _):
-        kb = nb - 1 - i
-        k0 = pl.multiple_of(kb * BLK, BLK)
-
-        def sub(j, a):
-            j0 = pl.multiple_of(j * BLK, BLK)
-            Ljk = l_ref[pl.ds(j0, BLK), pl.ds(k0, BLK)]
-            return a - _dot(x_ref[:, pl.ds(j0, BLK)], Ljk)
-
-        acc = lax.fori_loop(kb + 1, nb, sub, x_ref[:, pl.ds(k0, BLK)])
-        x_ref[:, pl.ds(k0, BLK)] = _dot(acc, dinv_ref[pl.ds(k0, BLK), :])
-        return 0
-
-    lax.fori_loop(0, nb, bwd, 0)
-
-
 def _chol_invert_ref(l_ref, dinv_ref, nb: int):
     """Blocked triangular inverse W = L⁻¹ computed IN PLACE over
     ``l_ref`` (strict upper zeroed), from the blocked factor of
     ``_chol_factor_ref``.
 
     Why: the preconditioner is applied many times per step (refine
-    rounds, and 48×3 inside the PCG stall escalation), and every
-    ``_chol_solve_ref`` is a SEQUENTIAL pair of block-substitution loops
+    rounds, and 48×3 inside the PCG stall escalation), and a direct
+    blocked back-substitution is a SEQUENTIAL pair of loops
     of tiny (1, BLK)×(BLK, BLK) dots.  Inverting L once per
     factorization (nb³/6 MXU block-matmuls) turns every solve into two
     full-width (1, rp)×(rp, rp) MXU dots.  W is only ever a
@@ -432,8 +404,8 @@ def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
     def _precond_solve(rhs_row):
         return _w_solve(l_ref, rhs_row)
 
-    def _dd_resid(xh, xl):
-        """r = -g - H x, dd, matrix-free against the true operator
+    def _dd_apply(xh, xl):
+        """True-operator dd matvec H x, matrix-free
         (chunked pass: C^T (w * (C x)))."""
         def body(ic, ch, cl, acc):
             ah, al = acc
@@ -449,68 +421,126 @@ def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
         if has_P:
             pxh, pxl = _dd_pmatvec_row(tPhi, tPlo, xh, xl)
             hxh, hxl = dd.dd_add(hxh, hxl, pxh, pxl)
-        return dd.dd_add(-gh, -gl, -hxh, -hxl)
+        return hxh, hxl
 
     xh, xl, rh, rl, rn2, bn2 = _refined_solve(
-        _precond_solve, _dd_resid, Hs, dsc_r, gh, gl, refine, rp)
+        _precond_solve, _dd_apply, Hs, dsc_r, gh, gl, refine, rp)
 
     return dict(xh=xh, xl=xl, gh=gh, gl=gl, rh=rh, rl=rl,
                 rn2=rn2, bn2=bn2)
 
 
-def _refined_solve(precond_solve, dd_resid, Hs, dsc_r, gh, gl, refine,
+def _refined_solve(precond_solve, dd_apply, Hs, dsc_r, gh, gl, refine,
                    rp):
     """Solve H dx = -g: `refine` rounds of factor-preconditioned
     iterative refinement with matrix-free dd residuals, then a stall
     escalation — plain refinement diverges once kappa(Hs)*eps32 > 1
-    (deep barrier stages reach kappa ~ 1e9-1e10), while preconditioned
-    CG on the equilibrated operator converges at ~sqrt(kappa*eps32):
-    run 3 dd-wrapped rounds of 48-step f32 PCG corrections, cond-gated
-    so well-conditioned steps pay nothing.  Shared by the LP/QP
-    (_direction_core) and SOCP (pallas_socp._socp_core) step kernels.
+    (deep barrier stages reach kappa ~ 1e9-1e10).  The escalation is
+    PCG with the DOUBLE-FLOAT residual recurrence against the true
+    operator (``dd_apply``: the matrix-free dd H·x) and the f32 factor
+    only as preconditioner:
+    with search directions in f32 but r_k = b − H x_k carried in dd,
+    CG resolves the solution's small-eigenvalue components that any
+    f32-arithmetic correction loop loses — measured on a kappa(Hs)≈5e8
+    Mehrotra system, the previous f32 PCG left O(1) relative ERROR
+    (residual-blind near-null components; the error GREW round over
+    round) where this converges to the dd floor (~kappa·4e-15) in <10
+    iterations.  Cond-gated so well-conditioned steps pay nothing;
+    exits early once the equilibrated residual reaches the dd floor.
+    Shared by the LP/QP (_direction_core), SOCP (pallas_socp) and
+    dense-KKT (pallas_kkt) kernels.
     Returns (xh, xl, rh, rl, rn2, bn2), residual norms in the
     equilibrated metric."""
+    def dd_resid(xh, xl):
+        hxh, hxl = dd_apply(xh, xl)
+        return dd.dd_add(-gh, -gl, -hxh, -hxl)
+
     xh = jnp.zeros((1, rp), jnp.float32)
     xl = jnp.zeros((1, rp), jnp.float32)
     rh, rl = -gh, -gl
-    for _ in range(refine):
+
+    # fori_loop, NOT a Python unroll: each unrolled dd_resid instance
+    # kept its own (rp, rp)-scale temporaries live for Mosaic's register
+    # allocator — measured 101 MB of spill slots on the SOCP kernel at
+    # rp=1024 (the VMEM overflow), collapsing to one instance here
+    def _ref_round(_, c):
+        xh, xl, rh, rl = c
         corr = dsc_r * precond_solve(rh * dsc_r)
         xh, xl = dd.dd_add(xh, xl, corr, jnp.zeros_like(corr))
         rh, rl = dd_resid(xh, xl)
-
-    def _pcg(rs, iters):
-        z0 = precond_solve(rs)
-
-        def body(_, c):
-            x, rr, z, p, rz = c
-            Hp = _dot(p, Hs)
-            denom = jnp.sum(p * Hp)
-            a = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
-            x = x + a * p
-            rr = rr - a * Hp
-            z = precond_solve(rr)
-            rz2 = jnp.sum(rr * z)
-            beta = rz2 / jnp.where(jnp.abs(rz) > 1e-30, rz, 1e-30)
-            return x, rr, z, p * beta + z, rz2
-
-        x0 = jnp.zeros_like(rs)
-        out = lax.fori_loop(0, iters, body,
-                            (x0, rs, z0, z0, jnp.sum(rs * z0)))
-        return out[0]
-
-    def _pcg_rounds(carry):
-        xh, xl, rh, rl = carry
-        for _ in range(3):
-            corr = dsc_r * _pcg(rh * dsc_r, 48)
-            xh, xl = dd.dd_add(xh, xl, corr, jnp.zeros_like(corr))
-            rh, rl = dd_resid(xh, xl)
         return xh, xl, rh, rl
 
-    rn2 = jnp.sum((rh * dsc_r) ** 2)
+    xh, xl, rh, rl = lax.fori_loop(0, refine, _ref_round,
+                                   (xh, xl, rh, rl))
+
     bn2 = jnp.sum((gh * dsc_r) ** 2)
+
+    def _dd_pcg(carry):
+        """dd-residual PCG for the correction system, run ENTIRELY in
+        the equilibrated metric (Hs x̂ = r̂, x += D x̂): the original
+        metric's 1e±8 entry spread makes the f32 CG scalars (rᵀz, pᵀHp)
+        meaningless and CG breaks down (measured); equilibrated, every
+        CG quantity is O(1)-scaled.  Search directions p are f32, the
+        residual recurrence is dd against the true operator
+        (Ĥ(y) = D·H(D·y) via dd_apply) — the dd recurrence is what
+        resolves the solution's small-eigenvalue components that any
+        f32-arithmetic correction loses."""
+        xh0, xl0, rh0, rl0 = carry
+        # equilibrated correction system: r̂0 = D r0 (dd)
+        zcol = jnp.zeros_like(dsc_r)
+        reh0, rel0 = dd.dd_mul(rh0, rl0, dsc_r, zcol)
+        z0 = precond_solve(reh0)
+        rz0 = jnp.sum(reh0 * z0)
+        zx = jnp.zeros((1, rp), jnp.float32)
+
+        def hs_apply(ph, pl_):
+            """Ĥ p = D · H(D p), dd (D = diag(dsc_r), dd-exact)."""
+            sph, spl = dd.dd_mul(ph, pl_, dsc_r, zcol)
+            hh, hl = dd_apply(sph, spl)
+            return dd.dd_mul(hh, hl, dsc_r, zcol)
+
+        def body(c):
+            i, cxh, cxl, reh, rel, p, rz = c
+            # raw operator apply — extracting Ĥp from a residual
+            # closure would catastrophically cancel once ‖p‖ ≪ ‖b‖
+            hph, hpl = hs_apply(p, jnp.zeros_like(p))
+            denom = jnp.sum(p * hph)
+            a = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+            ch, cl = dd.dd_mul_f32(p, jnp.zeros_like(p), a)
+            cxh, cxl = dd.dd_add(cxh, cxl, ch, cl)
+            sh, sl = dd.dd_mul_f32(hph, hpl, a)
+            reh, rel = dd.dd_add(reh, rel, -sh, -sl)
+            z = precond_solve(reh)
+            rz2 = jnp.sum(reh * z)
+            beta = rz2 / jnp.where(jnp.abs(rz) > 1e-30, rz, 1e-30)
+            return i + 1, cxh, cxl, reh, rel, z + beta * p, rz2
+
+        def cond(c):
+            i, cxh, cxl, reh, rel, p, rz = c
+            rn2c = jnp.sum(reh * reh)
+            return ((i < 48) & (rn2c > 1e-26 * bn2)
+                    & jnp.isfinite(rn2c) & jnp.isfinite(rz))
+
+        out = lax.while_loop(cond, body, (jnp.zeros((), jnp.int32),
+                                          zx, zx, reh0, rel0, z0, rz0))
+        _, cxh, cxl, _, _, _, _ = out
+        # x += D x̂corr (dd), then recompute the TRUE residual
+        dxh, dxl = dd.dd_mul(cxh, cxl, dsc_r, zcol)
+        xh2, xl2 = dd.dd_add(xh0, xl0, dxh, dxl)
+        hxh, hxl = dd_apply(xh2, xl2)
+        rh2, rl2 = dd.dd_add(-gh, -gl, -hxh, -hxl)
+        # keep the PCG result only if it actually improved the residual
+        # (breakdown guard: a degenerate direction can spoil the carry)
+        better = (jnp.sum((rh2 * dsc_r) ** 2)
+                  < jnp.sum((rh0 * dsc_r) ** 2))
+        pick = lambda a, b: jnp.where(better, a, b)   # noqa: E731
+        return (pick(xh2, xh0), pick(xl2, xl0),
+                pick(rh2, rh0), pick(rl2, rl0))
+
+    rn2 = jnp.sum((rh * dsc_r) ** 2)
     stalled = rn2 > 1e-12 * bn2
     xh, xl, rh, rl = lax.cond(
-        stalled, _pcg_rounds, lambda c: c, (xh, xl, rh, rl))
+        stalled, _dd_pcg, lambda c: c, (xh, xl, rh, rl))
     rn2 = jnp.sum((rh * dsc_r) ** 2)
     return xh, xl, rh, rl, rn2, bn2
 

@@ -22,7 +22,7 @@ for the convergence test — identical semantics to the XLA engine.
 
 Reuses ops/pallas_newton.py's building blocks: CH-chunked foreach over
 the VMEM-resident or HBM-streamed C pair, `_equilibrate`,
-`_factor_jittered`, `_chol_solve_ref`, and the dd arithmetic of
+`_factor_jittered`, `_chol_invert_ref`, and the dd arithmetic of
 ops/dd.py.  Same VMEM envelope and gates (`kernel_mode`).
 """
 
@@ -40,7 +40,7 @@ from . import dd
 from .pallas_chol import BLK
 from .pallas_newton import (CH, ReducedConsts, _STREAM_MAX_ROWS,
                             _c_in_specs, _chol_invert_ref,
-                            _chol_solve_ref, _common_scratch,
+                            _common_scratch,
                             _dd_pmatvec_row, _dd_recip, _equilibrate,
                             _factor_jittered, _make_foreach, _pad, _padk,
                             _pad2, _refined_solve, _w_solve)
@@ -200,12 +200,8 @@ def _pd_step_core(foreach_c, dhi_ref, dlo_ref, qhi, qlo, zhi, zlo,
         (1−α)-contraction bookkeeping keeps shrinking.  Also returns
         the FINAL true-operator residual norms (rn2, bn2) in the
         equilibrated metric for the driver's solve-quality gate."""
-        def dd_resid(xh, xl):
-            hxh, hxl = _apply_h(xh, xl)
-            return dd.dd_add(bh, bl, -hxh, -hxl)
-
         xh, xl, _, _, rn2, bn2 = _refined_solve(
-            _precond_solve, dd_resid, Hs, dsc_r, -bh, -bl, refine, rp)
+            _precond_solve, _apply_h, Hs, dsc_r, -bh, -bl, refine, rp)
         return xh, xl, rn2[None, None], bn2[None, None]
 
     # ---- rhs builder + direction: t = (rc − λ·rp)/s per row ------------

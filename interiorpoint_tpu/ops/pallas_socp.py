@@ -59,7 +59,7 @@ from . import dd
 from .barrier import SOCP_SLACK_EPS
 from .pallas_chol import BLK
 from .pallas_newton import (
-    CH, _chol_invert_ref, _chol_solve_ref, _dd_pmatvec_row, _dd_recip,
+    CH, _chol_invert_ref, _dd_pmatvec_row, _dd_recip,
     _dot, _dot_tn,
     _equilibrate, _factor_jittered, _make_foreach_resident, _pad, _pad2,
     _padk, _phi_stable, _refined_solve, _row_to_col, _w_solve,
@@ -173,8 +173,8 @@ def _socp_core(foreach_a, E_ref, bhi_ref, blo_ref, chi_ref, clo_ref,
     def _precond_solve(rhs_row):
         return _w_solve(l_ref, rhs_row)
 
-    def _dd_resid(xh, xl):
-        """r = -g - H x, dd, against the operator {exact curvature +
+    def _dd_apply(xh, xl):
+        """True-operator dd matvec H x against {exact curvature +
         Gram(G32) [+ tP]} (see the module docstring's precision contract).
         """
         def body(ic, ah, al, acc):
@@ -203,11 +203,11 @@ def _socp_core(foreach_a, E_ref, bhi_ref, blo_ref, chi_ref, clo_ref,
         if has_P:
             pxh, pxl = _dd_pmatvec_row(tPhi, tPlo, xh, xl)
             hxh, hxl = dd.dd_add(hxh, hxl, pxh, pxl)
-        return dd.dd_add(-gh, -gl, -hxh, -hxl)
+        return hxh, hxl
 
-    # refinement + PCG stall escalation, shared with the LP/QP kernel
+    # refinement + dd-PCG stall escalation, shared with the LP/QP kernel
     xh, xl, rh, rl, rn2, bn2 = _refined_solve(
-        _precond_solve, _dd_resid, Hs, dsc_r, gh, gl, refine, rp)
+        _precond_solve, _dd_apply, Hs, dsc_r, gh, gl, refine, rp)
 
     return dict(xh=xh, xl=xl, gh=gh, gl=gl, rn2=rn2, bn2=bn2,
                 seh=seh, sel=sel, rhsh=rhsh, rhsl=rhsl,

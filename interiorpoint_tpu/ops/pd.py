@@ -186,14 +186,21 @@ def pd_solve_fused(prob, z0, cfg, max_iters=None, *, stream=False,
                     rd_norm=stats[2].astype(dtype))
 
 
-def pd_solve(prob, z0, cfg, max_iters=None, A=None, b=None) -> PDResult:
+def pd_solve(prob, z0, cfg, max_iters=None, A=None, b=None,
+             kkt_kernel=None) -> PDResult:
     """Run the predictor-corrector solve on an inequality-form problem
     pytree (LPProblem/QPProblem: ``C``/``d`` plus ``c`` or ``P``/``q``),
     optionally with an equality pair ``A x = b`` handled by the same
     Schur block elimination the Newton engines use (ops/kkt.py:
     H·Y = Aᵀ, S = A·H⁻¹Aᵀ) — the H and S factorizations are built once
     per iteration and reused across the predictor and corrector.
-    Jit-compatible (also under vmap); returns a :class:`PDResult`."""
+    Jit-compatible (also under vmap); returns a :class:`PDResult`.
+
+    ``kkt_kernel``: equality-path direction backend override — None =
+    auto (the fused dense-KKT Pallas kernel on TPU when supported),
+    False = force the XLA block elimination, "interpret" = force the
+    kernel in interpret mode (tests).  The no-equality TPU path uses
+    the fully fused per-iteration kernel (ops/pallas_pd.py) instead."""
     C, d = prob.C, prob.d
     P = getattr(prob, "P", None)
     if P is not None:
@@ -260,6 +267,29 @@ def pd_solve(prob, z0, cfg, max_iters=None, A=None, b=None) -> PDResult:
     def prepare(H):
         return posdef_solver(H, mixed)
 
+    # equality-path direction backend (static): one fused Pallas
+    # factor+Schur+solve per direction instead of the XLA elimination's
+    # sequential mixed-solve dispatches (see ops/pallas_kkt.py)
+    from .pallas_kkt import kkt_supported
+    n_z = z0.shape[-1]
+    pe = A.shape[0] if has_eq else 0
+    if kkt_kernel is None:
+        use_kkt = (has_eq and mixed and cfg.use_pallas
+                   and jax.default_backend() == "tpu"
+                   and kkt_supported(n_z, pe))
+        kkt_interpret = False
+    elif kkt_kernel == "interpret":
+        use_kkt = (has_eq and dtype == jnp.float64
+                   and kkt_supported(n_z, pe))
+        kkt_interpret = True
+    else:
+        use_kkt = False
+        kkt_interpret = False
+    if use_kkt:
+        from .pallas_kkt import kkt_dir_prepared, prep_kkt_consts, \
+            prep_kkt_h
+        kkt_consts = prep_kkt_consts(A, n_z)
+
     def body(st):
         z, s, lam, v, it, *_ = st
         rd, rp, rpe = residuals(z, s, lam, v)
@@ -267,15 +297,23 @@ def pd_solve(prob, z0, cfg, max_iters=None, A=None, b=None) -> PDResult:
         H = jnp.matmul(C.T * w[None, :], C, precision=_HIGHEST)
         if P is not None:
             H = H + P
-        solve_h = prepare(H)
-        if has_eq:
-            Hinv_AT = solve_h(A.T)
-            S = A @ Hinv_AT
-            solve_s = prepare(0.5 * (S + S.T))
+        if use_kkt:
+            H = 0.5 * (H + H.T)
+            Hhi, Hlo = prep_kkt_h(H, n_z)
+        else:
+            solve_h = prepare(H)
+            if has_eq:
+                Hinv_AT = solve_h(A.T)
+                S = A @ Hinv_AT
+                solve_s = prepare(0.5 * (S + S.T))
 
         def direction(rc):
             rhs = -rd + C.T @ ((rc - lam * rp) / s)
-            if has_eq:
+            if use_kkt:
+                dz, dv, _, _ = kkt_dir_prepared(
+                    Hhi, Hlo, kkt_consts, rhs, rpe,
+                    interpret=kkt_interpret)
+            elif has_eq:
                 # H dz + Aᵀ dv = rhs, A dz = −rpe  ⇒  S dv = A H⁻¹rhs + rpe
                 t1 = solve_h(rhs)
                 dv = solve_s(A @ t1 + rpe)

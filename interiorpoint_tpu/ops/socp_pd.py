@@ -133,7 +133,8 @@ class SOCPPDResult(NamedTuple):
 
 
 def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
-                  lb=None, ub=None, max_iters=None) -> SOCPPDResult:
+                  lb=None, ub=None, max_iters=None,
+                  kkt_kernel=None) -> SOCPPDResult:
     """Conic Mehrotra predictor-corrector solve (module docstring).
 
     Args:
@@ -142,6 +143,10 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
       q: (n,) linear objective; ``P`` optional PSD quadratic term.
       F, g: optional equality pair (Schur elimination, factor reuse).
       lb, ub: optional (n,) bounds (±inf entries masked out).
+      kkt_kernel: direction-solve backend override — None = auto (the
+        fused dense-KKT Pallas kernel, ops/pallas_kkt.py, on TPU when
+        supported; the XLA block elimination otherwise), False = force
+        XLA, "interpret" = force the kernel in interpret mode (tests).
     """
     dtype = G.dtype
     K, M1, n = G.shape
@@ -151,6 +156,29 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
     if max_iters is None:
         max_iters = int(cfg.pd_max_iters)
     e = jnp.zeros((K, M1), dtype).at[:, 0].set(1.0)
+
+    # ---- direction-solve backend (static) --------------------------------
+    # On TPU the XLA block elimination's per-iteration cost is ~18
+    # SEQUENTIAL mixed-precision solve dispatches (each an adaptive
+    # refinement while_loop); the fused kernel collapses each direction
+    # into one Pallas call (factor + Schur + dd-refined elimination).
+    from .pallas_kkt import kkt_supported
+    pe = F.shape[0] if has_eq else 0
+    if kkt_kernel is None:
+        use_kkt = (mixed and cfg.use_pallas
+                   and jax.default_backend() == "tpu"
+                   and kkt_supported(n, pe))
+        kkt_interpret = False
+    elif kkt_kernel == "interpret":
+        use_kkt = kkt_supported(n, pe) and dtype == jnp.float64
+        kkt_interpret = True
+    else:
+        use_kkt = False
+        kkt_interpret = False
+    if use_kkt:
+        from .pallas_kkt import kkt_dir_prepared, prep_kkt_consts, \
+            prep_kkt_h
+        kkt_consts = prep_kkt_consts(F if has_eq else None, n)
 
     ub_v = (jnp.full((n,), jnp.inf, dtype) if ub is None else ub)
     lb_v = (jnp.full((n,), -jnp.inf, dtype) if lb is None else lb)
@@ -247,11 +275,16 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
         # directions; robust_cholesky's escalating ladder (ops/kkt.py)
         # regularizes only when the factorization actually fails
         H = 0.5 * (H + H.T)
-        solve_h = prepare(H)
-        if has_eq:
-            Hinv_FT = solve_h(F.T)
-            S = F @ Hinv_FT
-            solve_s = prepare(0.5 * (S + S.T))
+        if use_kkt:
+            # one dd split per iteration, shared by predictor+corrector;
+            # each direction is ONE fused factor+Schur+solve kernel call
+            Hhi, Hlo = prep_kkt_h(H, n)
+        else:
+            solve_h = prepare(H)
+            if has_eq:
+                Hinv_FT = solve_h(F.T)
+                S = F @ Hinv_FT
+                solve_s = prepare(0.5 * (S + S.T))
 
         def winv2(vv):
             """W⁻² v = (1/η)(2(w⁻¹ᵀv)w⁻¹ − Jv) per cone."""
@@ -277,7 +310,11 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
             r1 = (-rd + jnp.einsum("kmn,km->n", G, zc, precision=_HIGHEST)
                   + fub * (rcu - lu * rpu) / su
                   - flb * (rcl - ll * rpl) / sl)
-            if has_eq:
+            if use_kkt:
+                dx, dy, _, _ = kkt_dir_prepared(
+                    Hhi, Hlo, kkt_consts, r1,
+                    rpe if has_eq else None, interpret=kkt_interpret)
+            elif has_eq:
                 t1 = solve_h(r1)
                 dy = solve_s(F @ t1 + rpe)
                 dx = t1 - Hinv_FT @ dy

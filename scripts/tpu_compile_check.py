@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from interiorpoint_tpu.ops import pallas_newton as pn  # noqa: E402
 from interiorpoint_tpu.ops import pallas_pd as ppd  # noqa: E402
 from interiorpoint_tpu.ops import pallas_socp as ps  # noqa: E402
+from interiorpoint_tpu.ops import pallas_kkt as pk  # noqa: E402
 
 
 def _compile(name, fn, *args):
@@ -105,6 +106,25 @@ def main():
         "socp_step/qp",
         lambda tq_, z_, tP_: ps.socp_newton_step_prepared(
             sconsts, tq_, z_, tP_, sig, alpha=0.2), tc, z, tP)
+
+    # fused dense-KKT direction kernel (eq + no-eq)
+    pe = 4
+    Hd = jnp.asarray(np.eye(r) * 2.0 + 0.1)
+    F1 = jnp.asarray(rng.normal(size=(pe, r)))
+    rpe1 = jnp.asarray(rng.normal(size=pe))
+    kc_eq = pk.prep_kkt_consts(F1, r)
+    kc_ne = pk.prep_kkt_consts(None, r)
+
+    def _kkt(HH, r1_, rpe_):
+        Hhi, Hlo = pk.prep_kkt_h(HH, r)
+        return pk.kkt_dir_prepared(Hhi, Hlo, kc_eq, r1_, rpe_)
+
+    def _kkt0(HH, r1_):
+        Hhi, Hlo = pk.prep_kkt_h(HH, r)
+        return pk.kkt_dir_prepared(Hhi, Hlo, kc_ne, r1_)
+
+    ok &= _compile("kkt_dir/eq", _kkt, Hd, tc, rpe1)
+    ok &= _compile("kkt_dir/noeq", _kkt0, Hd, tc)
 
     if not ok:
         sys.exit(1)
