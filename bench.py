@@ -128,22 +128,45 @@ V5E_BF16_PEAK = 197e12
 V5E_F32_EFF_PEAK = V5E_BF16_PEAK / 6.0
 
 
+ROOFLINE_SUITES = ("lp", "qp", "lp-pd", "qp-pd", "socp", "socp-kkt")
+
+
 def roofline(suite, n, reps, dtype):
-    """Measure achieved FLOP/s of the fused Newton-step kernel (direction
-    + factor + refinement + line search in one Pallas program) against the
-    v5e roofline, at the reduced shape of the benchmark problem.
+    """Measure achieved FLOP/s of a fused Pallas kernel against the v5e
+    roofline, at the reduced shape of the benchmark problem.  Suites:
 
-    FLOP accounting is the USEFUL dense factor-solve work per step
-    (reference per-step equivalent: NewtonSolverInfeasibleStart.py:396-490):
-    Gram CᵀWC = 2kr², Cholesky r³/3, [QP: +2r² P matvec], triangular
-    solves and dd matvec passes are O(kr) and counted too.
+    * ``lp``/``qp`` — the fused barrier Newton-step kernel
+      (ops/pallas_newton.py): direction + factor + refinement + line
+      search in one program.
+    * ``lp-pd``/``qp-pd`` — the fused Mehrotra PD iteration kernel
+      (ops/pallas_pd.py): residuals + Gram + factor + predictor +
+      corrector in one program.
+    * ``socp`` — the fused SOCP barrier Newton-step kernel
+      (ops/pallas_socp.py).
+    * ``socp-kkt`` — the fused dense-KKT direction kernel
+      (ops/pallas_kkt.py) used by the conic Mehrotra engine.
 
-    The instance carries a +0.5 slack margin (deviating from the
+    FLOP accounting is the USEFUL dense work per step (reference
+    per-step equivalent: NewtonSolverInfeasibleStart.py:396-490): Gram
+    2kr², Cholesky r³/3 (+ the in-kernel triangular inverse r³/3 where
+    the kernel computes one), [QP: +2r² P matvec], plus the O(kr)
+    dd-matvec passes.  Error-free-transformation overhead (the ~8×
+    VPU flops dd arithmetic spends per useful flop) is NOT counted —
+    the number answers "how fast is the equivalent f64 math", so the
+    reported fraction of peak is conservative.
+
+    The LP/QP instance carries a +0.5 slack margin (deviating from the
     boundary-start benchmark recipe) so the measured step is a
     representative interior Newton step, not a degenerate boundary one
     whose 1/s² weights overflow f32 and trip the jitter-ladder
     refactor retries.
     """
+    if suite in ("lp-pd", "qp-pd"):
+        return _roofline_pd(suite, n, reps, dtype)
+    if suite == "socp":
+        return _roofline_socp(n, reps, dtype)
+    if suite == "socp-kkt":
+        return _roofline_kkt(n, reps, dtype)
     import jax
     import jax.numpy as jnp
     from interiorpoint_tpu import LPSolver, QPSolver
@@ -225,10 +248,206 @@ def roofline(suite, n, reps, dtype):
     )
 
 
+def _chain_time(step_state, state0, reps):
+    """Compile + time ``reps`` DEPENDENT step applications inside one
+    jitted fori_loop (same rationale as the lp/qp roofline: the
+    production solver runs its iterations inside one while_loop program
+    with no per-step dispatch).  Returns seconds per step."""
+    import jax
+    from jax import lax
+
+    def chain(st):
+        return lax.fori_loop(0, reps, lambda i, s: step_state(s), st)
+
+    jc = jax.jit(chain)
+    jax.block_until_ready(jc(state0))          # compile + warm
+    t0 = time.time()
+    jax.block_until_ready(jc(state0))
+    return (time.time() - t0) / reps
+
+
+def _lpqp_problem(suite, n, dtype):
+    """The bench LP/QP instance (+0.5 slack margin) and its reduced
+    inequality form (C, d, P, z0) — shared by the kernel rooflines."""
+    import jax.numpy as jnp
+    from interiorpoint_tpu import LPSolver, QPSolver
+
+    np.random.seed(1)
+    m, k_in = int(0.8 * n), int(0.2 * n)
+    A = np.random.uniform(-2, 2, (m, n))
+    x_feas = np.random.uniform(-2, 2, n)
+    if suite.startswith("qp"):
+        Pp = np.random.uniform(-2, 2, (m, n))
+        P = Pp.T @ Pp + np.eye(n)
+        C = np.random.uniform(-2, 2, (20, n))
+        solver = QPSolver(P=P, q=np.random.uniform(-2, 2, n), A=A,
+                          b=A @ x_feas, C=C, d=C @ x_feas + 0.5,
+                          lower_bound=-3, upper_bound=3,
+                          suppress_print=True, check_cvxpy=False,
+                          dtype=dtype)
+    else:
+        C = np.random.uniform(-2, 2, (k_in, n))
+        solver = LPSolver(c=np.random.uniform(-2, 2, n), A=A, b=A @ x_feas,
+                          C=C, d=C @ x_feas + 0.5, lower_bound=-3,
+                          upper_bound=3, suppress_print=True,
+                          check_cvxpy=False, dtype=dtype)
+    rf = solver._reduced
+    z0 = rf.basis.N.T @ (jnp.asarray(x_feas) - rf.basis.x_p)
+    return rf.prob, z0
+
+
+def _roofline_pd(suite, n, reps, dtype):
+    """Fused Mehrotra PD iteration kernel (ops/pallas_pd.py) FLOP/s.
+
+    Chains genuine Mehrotra iterations from the standard cold start —
+    with reps ≤ the typical 10–30 iteration solve the chain stays on
+    the real central path.  Useful FLOPs per iteration: Gram 2kr²,
+    factor + in-kernel triangular inverse 2r³/3, ~12 O(kr) dd passes
+    (residuals, two rhs builds, two ds recoveries, refinement),
+    [QP: + P matvecs]."""
+    import jax.numpy as jnp
+    from interiorpoint_tpu.ops import pallas_newton as pn
+    from interiorpoint_tpu.ops.pallas_pd import pd_step_prepared
+
+    prob, z0 = _lpqp_problem(suite, n, dtype)
+    Cz, dz = prob.C, prob.d
+    Pz = getattr(prob, "P", None)
+    k, r = Cz.shape
+    mode = pn.kernel_mode(k, r, Pz is not None)
+    if mode is None:
+        raise SystemExit(f"no fused kernel regime for k={k} r={r}")
+    consts = pn.prep_reduced_consts(Cz, dz)
+    # same objective-vector dispatch as ops/pd.py pd_solve_fused
+    q = (prob.c if Pz is None
+         else (prob.q if prob.q is not None else jnp.zeros_like(z0)))
+    s0 = jnp.maximum(dz - Cz @ z0, 1e-2)
+    lam0 = 1.0 / s0
+
+    def step(st):
+        z, s, lam = st
+        z2, s2, lam2, _ = pd_step_prepared(
+            consts, q, z, s, lam, Pz, stream=mode == "stream")
+        return z2, s2, lam2
+
+    dt = _chain_time(step, (z0, s0, lam0), reps)
+    flops = (2.0 * k * r * r + 2.0 * r**3 / 3.0 + 12.0 * 4.0 * k * r)
+    if Pz is not None:
+        flops += 2.0 * r * r * 6
+    achieved = flops / dt
+    return dict(suite=suite, n=n, k=k, r=r, mode=mode, step_ms=dt * 1e3,
+                useful_gflop=flops / 1e9,
+                achieved_tflops=achieved / 1e12,
+                frac_f32_eff_peak=achieved / V5E_F32_EFF_PEAK,
+                frac_bf16_peak=achieved / V5E_BF16_PEAK)
+
+
+def _roofline_socp(n, reps, dtype):
+    """Fused SOCP barrier Newton-step kernel (ops/pallas_socp.py)
+    FLOP/s at the benchmark recipe's reduced shape.  Useful FLOPs per
+    step: stacked-cone Gram 2(K·M)r² + 2Kr², factor + inverse 2r³/3,
+    [+ P matvecs]; the O(K·M·r) dd passes ride along."""
+    import jax.numpy as jnp
+    from interiorpoint_tpu import SOCPSolver
+    from interiorpoint_tpu.ops import pallas_socp as ps
+    from interiorpoint_tpu.utils.generators import generate_socp
+
+    np.random.seed(1)
+    p = generate_socp(n)
+    x0 = p.pop("x0")
+    solver = SOCPSolver(**p, suppress_print=True, check_cvxpy=False,
+                        epsilon=1e-4, t0="auto", dtype=dtype)
+    rf = solver._reduced
+    sprob = rf.prob
+    K, M, r = sprob.A.shape
+    if not ps.supported(K, M, r, sprob.P is not None):
+        raise SystemExit(f"no fused SOCP kernel regime for K={K} M={M} "
+                         f"r={r}")
+    consts = ps.prep_socp_consts(sprob)
+    z0 = rf.basis.N.T @ (jnp.asarray(x0) - rf.basis.x_p)
+    t = jnp.asarray(10.0, solver.cfg.jnp_dtype)
+    tq = (t * sprob.q if sprob.q is not None
+          else jnp.zeros((r,), solver.cfg.jnp_dtype))
+    tP = t * sprob.P if sprob.P is not None else None
+    sig = jnp.asarray(0.6 ** np.arange(40))
+
+    def step(z):
+        xn, _, _, _, _, _ = ps.socp_newton_step_prepared(
+            consts, tq, z, tP, sig, alpha=0.2)
+        return xn
+
+    dt = _chain_time(step, z0, reps)
+    flops = (2.0 * (K * M) * r * r + 2.0 * K * r * r
+             + 2.0 * r**3 / 3.0)
+    if sprob.P is not None:
+        flops += 2.0 * r * r * 6
+    achieved = flops / dt
+    return dict(suite="socp", n=n, k=K * M, r=r, mode="resident",
+                step_ms=dt * 1e3, useful_gflop=flops / 1e9,
+                achieved_tflops=achieved / 1e12,
+                frac_f32_eff_peak=achieved / V5E_F32_EFF_PEAK,
+                frac_bf16_peak=achieved / V5E_BF16_PEAK)
+
+
+def _roofline_kkt(n, reps, dtype):
+    """Fused dense-KKT direction kernel (ops/pallas_kkt.py) FLOP/s at
+    the conic-Mehrotra benchmark shape (one direction = one call).
+
+    Useful-FLOP accounting is CONSERVATIVE: factor + triangular
+    inverse 2r³/3, Schur build, and 3 refined H-solves (predictor
+    t1 + back-substitution + one operator application); the
+    data-dependent Schur-CG rounds beyond that are real work the
+    count excludes, so the reported fraction of peak is a lower
+    bound."""
+    import jax.numpy as jnp
+    from interiorpoint_tpu.ops.pallas_kkt import (
+        kkt_dir_prepared, kkt_supported, prep_kkt_consts, prep_kkt_h)
+    from interiorpoint_tpu.utils.generators import generate_socp
+
+    np.random.seed(1)
+    p = generate_socp(n)
+    P, F = p["P"], p["F"]
+    K = len(p["A"])
+    pe = F.shape[0]
+    if not kkt_supported(n, pe):
+        raise SystemExit(f"no fused KKT kernel regime for n={n} pe={pe}")
+    # representative SPD Newton matrix: P + sum_k G_k^T G_k
+    H = P.copy()
+    for Ak, ck in zip(p["A"], p["c"]):
+        H += Ak.T @ Ak + np.outer(ck, ck)
+    H = jnp.asarray(0.5 * (H + H.T))
+    consts = prep_kkt_consts(jnp.asarray(F), n)
+    Hhi, Hlo = prep_kkt_h(H, n)
+    rng = np.random.default_rng(0)
+    r1_0 = jnp.asarray(rng.standard_normal(n))
+    rpe_0 = jnp.asarray(rng.standard_normal(pe))
+
+    def step(st):
+        r1, rpe = st
+        dx, dy, _, _ = kkt_dir_prepared(Hhi, Hlo, consts, r1, rpe)
+        # feed the direction back at numerically-nil weight: keeps the
+        # chain sequentially dependent without leaving the test point
+        return r1_0 + 1e-20 * dx, rpe_0 + 1e-20 * dy
+
+    dt = _chain_time(step, (r1_0, rpe_0), reps)
+    from interiorpoint_tpu.ops.pallas_chol import BLK
+    rp = max(BLK, -(-n // BLK) * BLK)
+    flops = (2.0 * rp**3 / 3.0               # factor + inverse
+             + 2.0 * BLK * rp * rp            # Schur Zt
+             + 2.0 * BLK * BLK * rp           # S = Zt Zt^T
+             + 3.0 * 4.0 * 4.0 * rp * rp)     # 3 refined solves
+    achieved = flops / dt
+    return dict(suite="socp-kkt", n=n, k=K, r=n, mode="resident",
+                step_ms=dt * 1e3, useful_gflop=flops / 1e9,
+                achieved_tflops=achieved / 1e12,
+                frac_f32_eff_peak=achieved / V5E_F32_EFF_PEAK,
+                frac_bf16_peak=achieved / V5E_BF16_PEAK)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--suite", type=str, default="all",
-                   choices=["all", "lp", "qp", "socp", "lasso"])
+                   choices=["all", "lp", "qp", "socp", "lasso",
+                            "lp-pd", "qp-pd", "socp-kkt"])
     p.add_argument("--n", type=int, default=1000)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--dtype", type=str, default="float64")
@@ -258,8 +477,8 @@ def main():
         # roofline covers the fused-kernel suites only; the default "all"
         # means LP here (don't mislabel an LP-only measurement as "all")
         suite = "lp" if args.suite == "all" else args.suite
-        if suite not in ("lp", "qp"):
-            sys.exit(f"--roofline supports lp/qp, not {suite}")
+        if suite not in ROOFLINE_SUITES:
+            sys.exit(f"--roofline supports {ROOFLINE_SUITES}, not {suite}")
         res = roofline(suite, args.n, max(args.reps, 10), args.dtype)
         print(f"# roofline {res['suite']} n={res['n']}: reduced shape "
               f"k={res['k']} r={res['r']} mode={res['mode']}, "
@@ -277,6 +496,9 @@ def main():
            "lasso": bench_lasso}
 
     if args.suite != "all":
+        if args.suite not in fns:
+            sys.exit(f"--suite {args.suite} is roofline-only "
+                     "(pass --roofline)")
         kw = ({"algorithm": args.algorithm}
               if args.suite in ("lp", "qp", "socp") else {})
         mean_s, times, val, note = fns[args.suite](args.n, args.reps,
@@ -323,23 +545,31 @@ def main():
     geomean = (float(np.exp(np.mean(np.log(speedups))))
                if speedups else None)
 
-    # Large-n showcase row (outside the n=1000 geomean): the fused
-    # Mehrotra engine at the reference's largest benchmark shape — the
-    # regime where the round-2/3 kernels changed the story most.
+    # Mehrotra-engine rows (outside the n=1000 barrier geomean): the
+    # qp/socp pd engines at n=1000 — the driver-captured record must
+    # cover the pd surfaces too (round-3 VERDICT weak #4: the round3d
+    # socp-pd crash was invisible to the all-suite bench) — plus the
+    # lp-pd large-n showcase at the reference's largest benchmark shape.
     if args.n == 1000:
-        try:
-            mean_s, _, val, _ = bench_lp(5000, 2, args.dtype,
-                                         algorithm="pd")
-            b5 = BASELINES["lp"][5000]
-            rows["lp5000_pd"] = {"seconds": round(mean_s, 4),
-                                 "objective": round(float(val), 6),
-                                 "t4_baseline_s": b5,
-                                 "speedup_vs_t4": round(b5 / mean_s, 3)}
-            print(f"# lp-pd n=5000: {mean_s:.4f}s "
-                  f"({b5 / mean_s:.1f}x vs T4)", file=sys.stderr)
-        except Exception as e:
-            print(f"# lp-pd n=5000 FAILED: {e!r}", file=sys.stderr)
-            rows["lp5000_pd"] = {"error": str(e)[:200]}
+        pd_rows = [("qp1000_pd", bench_qp, 1000, 2, "qp"),
+                   ("socp1000_pd", bench_socp, 1000, 2, "socp"),
+                   ("lp5000_pd", bench_lp, 5000, 2, "lp")]
+        for key, fn, npd, rpd, bkey in pd_rows:
+            try:
+                mean_s, _, val, _ = fn(npd, rpd, args.dtype,
+                                       algorithm="pd")
+                bl = BASELINES[bkey].get(npd)
+                rows[key] = {"seconds": round(mean_s, 4),
+                             "objective": round(float(val), 6),
+                             "t4_baseline_s": bl,
+                             "speedup_vs_t4": (round(bl / mean_s, 3)
+                                               if bl else None)}
+                print(f"# {key}: {mean_s:.4f}s"
+                      + (f" ({bl / mean_s:.1f}x vs T4)" if bl else ""),
+                      file=sys.stderr)
+            except Exception as e:
+                print(f"# {key} FAILED: {e!r}", file=sys.stderr)
+                rows[key] = {"error": str(e)[:200]}
 
     print(json.dumps({
         "metric": f"all_n{args.n}_geomean_speedup_vs_t4",

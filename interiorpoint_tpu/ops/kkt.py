@@ -245,6 +245,22 @@ def posdef_solver(H, mixed: bool, exact_fallback: bool = True):
     return lambda rhs: chol_solve(L, rhs)
 
 
+def matrix_free_prepare(H_pre, dtype):
+    """Factor the preconditioner-grade assembly once for repeated
+    ``matrix_free_prepared_solve`` calls: Jacobi scaling, f32 factor of
+    the scaled system, and the diagonally-shifted backup factor the
+    second PCG escalation uses.  ``dtype`` is the f64 working dtype of
+    the right-hand sides."""
+    dg = jnp.diagonal(H_pre).astype(dtype)
+    dsc = 1.0 / jnp.sqrt(jnp.maximum(dg, jnp.finfo(dtype).tiny))
+    dsc32 = dsc.astype(jnp.float32)
+    Hs32 = H_pre.astype(jnp.float32) * dsc32[:, None] * dsc32[None, :]
+    L32, Dinv = robust_cholesky32(Hs32)
+    eye32 = jnp.eye(Hs32.shape[0], dtype=jnp.float32)
+    Lsh = robust_cholesky(Hs32 + jnp.float32(1e-6) * eye32)
+    return dsc, L32, Dinv, Lsh
+
+
 def matrix_free_posdef_solve(H_pre, apply_h, b, *, pcg_iters: int = 48,
                              pcg_rounds: int = 3):
     """Solve H x = b given a cheap preconditioner-grade assembly ``H_pre``
@@ -264,12 +280,19 @@ def matrix_free_posdef_solve(H_pre, apply_h, b, *, pcg_iters: int = 48,
     Returns ``(x, rel_resid)`` — callers should gate any Newton-decrement
     convergence test on ``rel_resid`` being small (see ops/newton.py).
     """
+    fac = matrix_free_prepare(H_pre, b.dtype)
+    return matrix_free_prepared_solve(fac, apply_h, b,
+                                      pcg_iters=pcg_iters,
+                                      pcg_rounds=pcg_rounds)
+
+
+def matrix_free_prepared_solve(fac, apply_h, b, *, pcg_iters: int = 48,
+                               pcg_rounds: int = 3, rtol: float = 1e-10):
+    """``matrix_free_posdef_solve`` from a ``matrix_free_prepare`` factor
+    (factor reuse across the many solves one Newton/Mehrotra direction
+    needs).  ``rtol``: scaled-residual target the escalations chase."""
     dtype = b.dtype
-    dg = jnp.diagonal(H_pre).astype(dtype)
-    dsc = 1.0 / jnp.sqrt(jnp.maximum(dg, jnp.finfo(dtype).tiny))
-    dsc32 = dsc.astype(jnp.float32)
-    Hs32 = H_pre.astype(jnp.float32) * dsc32[:, None] * dsc32[None, :]
-    L32, Dinv = robust_cholesky32(Hs32)
+    dsc, L32, Dinv, Lsh = fac
 
     def prec(r):
         """Scaled-space preconditioner solve of a f64 residual."""
@@ -356,19 +379,16 @@ def matrix_free_posdef_solve(H_pre, apply_h, b, *, pcg_iters: int = 48,
     # compile time past 80 minutes at n=5000 on this host.  Instead the
     # PCG runs always exist once in the graph with a DYNAMIC trip count —
     # zero iterations when the refinement already converged.
-    stalled = rn > 1e-10 * bnorm
+    stalled = rn > rtol * bnorm
     x, r, rn = _pcg_update((x, r, rn), L32,
                            jnp.where(stalled, pcg_iters, 0))
 
-    # Second escalation: re-factor with a diagonal shift just above the
-    # f32 rounding perturbation (~eps32·‖Hs‖).  The shifted M majorizes
-    # Hs despite rounding (a merely-rounded factor can fail to), at the
-    # price of κ_eff ≈ δ/λmin — recovered by a longer PCG run.  The extra
-    # f32 factor is computed unconditionally (~1 ms — cheap next to one
-    # emulated-f64 matvec).
-    eye32 = jnp.eye(Hs32.shape[0], dtype=jnp.float32)
-    Lsh = robust_cholesky(Hs32 + jnp.float32(1e-6) * eye32)
-    still = rn > 1e-9 * bnorm
+    # Second escalation with the diagonally-shifted factor (computed in
+    # matrix_free_prepare, just above the f32 rounding perturbation
+    # ~eps32·‖Hs‖): the shifted M majorizes Hs despite rounding (a
+    # merely-rounded factor can fail to), at the price of
+    # κ_eff ≈ δ/λmin — recovered by a longer PCG run.
+    still = rn > 10.0 * rtol * bnorm
     x, r, rn = _pcg_update((x, r, rn), Lsh,
                            jnp.where(still, pcg_rounds * pcg_iters, 0))
 

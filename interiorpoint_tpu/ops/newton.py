@@ -175,6 +175,11 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
             tc = (t * lin_cost if lin_cost is not None
                   else jnp.zeros((C_lin.shape[1],), dtype))
             tP = t * P_lin if P_lin is not None else None
+            # ε-derived stall gate for the dd-PCG escalation: a loose
+            # solve must not pay 48 PCG iterations per step polishing
+            # directions 5 orders past the requested gap (round-3
+            # VERDICT item 3)
+            fused_dir_tol = pallas_newton.dir_stall_tol(cfg.epsilon)
 
     # Fused SOCP Pallas fast path (TPU, f64, cholesky, pure-cone form):
     # one kernel per Newton step (ops/pallas_socp.py) replaces the XLA
@@ -194,6 +199,8 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
             tq_s = (t * sprob.q if sprob.q is not None
                     else jnp.zeros((r_s,), dtype))
             tP_s = t * sprob.P if sprob.P is not None else None
+            from .pallas_newton import dir_stall_tol as _dst
+            socp_dir_tol = _dst(cfg.epsilon)
 
     # Matrix-free mixed path (TPU, f64, cholesky, beyond the kernel's VMEM
     # envelope): factor the f32 MXU-assembled Hessian, refine the direction
@@ -229,7 +236,8 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
             x_new, nd, _sigma, any_acc, dir_ok = (
                 pallas_newton.reduced_newton_step_prepared(
                     consts, tc, s.x, tP, sigmas, alpha=cfg.alpha,
-                    refine=cfg.pallas_refine, stream=fused_stream))
+                    refine=cfg.pallas_refine, stream=fused_stream,
+                    dir_tol=fused_dir_tol))
             # An inaccurate direction (ill-conditioned stall) makes the
             # decrement read small prematurely; only trust convergence
             # when the direction residual is small.
@@ -239,7 +247,7 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
             x_new, nd, _sigma, any_acc, dir_ok, _dx = (
                 pallas_socp.socp_newton_step_prepared(
                     sconsts, tq_s, s.x, tP_s, sigmas, alpha=cfg.alpha,
-                    refine=cfg.pallas_refine))
+                    refine=cfg.pallas_refine, dir_tol=socp_dir_tol))
             nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
             j = _sigma_index(_sigma)
         else:

@@ -121,7 +121,9 @@ def _kkt_dir_kernel(Hhi_ref, Hlo_ref, Fhi_ref, Flo_ref, r1h_ref, r1l_ref,
                     dxh_ref, dxl_ref, dyh_ref, dyl_ref, stats_ref,
                     l_ref, dinv_ref,
                     *, nb: int, refine: int, rounds: int, has_eq: bool,
-                    r: int, rp: int, pe: int):  # rounds = max Schur-CG iters
+                    r: int, rp: int, pe: int,
+                    stall_rel2: float = 1e-12,
+                    cg_rel2: float = 1e-26):  # rounds = max Schur-CG iters
     """See module docstring.  All row-space vectors are (1, rp) f32
     pairs; equality-space vectors are (1, BLK) f32 pairs (rows ≥ pe of
     F are zero, so padded components stay exactly zero)."""
@@ -145,7 +147,8 @@ def _kkt_dir_kernel(Hhi_ref, Hlo_ref, Fhi_ref, Flo_ref, r1h_ref, r1l_ref,
         """dd-refined H x = b (refine rounds + dd-PCG stall
         escalation)."""
         xh, xl, _, _, rn2, bn2 = _refined_solve(
-            _precond_solve, h_dd, Hs, dsc_r, -bh, -bl, refine, rp)
+            _precond_solve, h_dd, Hs, dsc_r, -bh, -bl, refine, rp,
+            stall_rel2=stall_rel2)
         return xh, xl, rn2, bn2
 
     if not has_eq:
@@ -247,7 +250,7 @@ def _kkt_dir_kernel(Hhi_ref, Hlo_ref, Fhi_ref, Flo_ref, r1h_ref, r1l_ref,
     def cg_cond(c):
         i, yh, yl, rh_, rl_, p, rz = c
         rn2c = jnp.sum(rh_ * rh_)
-        return ((i < rounds) & (rn2c > 1e-26 * un2)
+        return ((i < rounds) & (rn2c > cg_rel2 * un2)
                 & jnp.isfinite(rn2c) & jnp.isfinite(rz))
 
     out = lax.while_loop(cg_cond, cg_body,
@@ -303,7 +306,8 @@ def prep_kkt_consts(F, n: int) -> KKTConsts:
 
 def kkt_dir_prepared(Hhi, Hlo, consts: KKTConsts, r1, rpe=None, *,
                      refine: int = 3, rounds: int = 24,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     dir_tol: float = 1e-6, cg_tol: float = 1e-13):
     """One fused KKT direction from a pre-split H pair.
 
     Args:
@@ -314,7 +318,13 @@ def kkt_dir_prepared(Hhi, Hlo, consts: KKTConsts, r1, rpe=None, *,
         the convention F dx = −rpe (ops/socp_pd.py's ``direction``).
 
     ``refine``: dd refinement rounds per H-solve; ``rounds``: max
-    Schur-CG iterations (early exit at the dd residual floor).
+    Schur-CG iterations; ``cg_tol``: L2-relative Schur-CG exit
+    tolerance (default the dd residual floor 1e-13); ``dir_tol``:
+    L2-relative H-solve residual above which the dd-PCG stall
+    escalation fires (pallas_newton.dir_stall_tol derives both from
+    the solve's requested ε — an ε=1e-4 Mehrotra direction does not
+    need 1e-13-grade multipliers, and each saved CG round saves a
+    full dd-refined H-solve).
 
     Returns (dx (r,) f64, dy (pe,) f64, rn2, bn2) — the KKT residual
     norms let the caller gate direction quality.
@@ -332,7 +342,8 @@ def kkt_dir_prepared(Hhi, Hlo, consts: KKTConsts, r1, rpe=None, *,
 
     kernel = functools.partial(
         _kkt_dir_kernel, nb=nb, refine=refine, rounds=rounds,
-        has_eq=pe > 0, r=r, rp=rp, pe=pe)
+        has_eq=pe > 0, r=r, rp=rp, pe=pe,
+        stall_rel2=float(dir_tol) ** 2, cg_rel2=float(cg_tol) ** 2)
     with jax.enable_x64(False):
         dxh, dxl, dyh, dyl, stats = pl.pallas_call(
             kernel,

@@ -67,14 +67,27 @@ from jax.experimental.pallas import tpu as pltpu
 from . import dd
 from .pallas_chol import BLK, _factor_diag_block
 
-# Rows per chunked pass over C inside the kernel (see _direction_core).
-# 256 (was 512): the dd slab temporaries live across Mosaic's scheduler
-# as register-allocator SPILL SLOTS — measured 71 MB of spills at
-# CH=512/rp=1024 on the pd stream kernel (the compiler's largest single
-# allocation), pushing the n=5000 pd and n=1000 SOCP benchmark shapes
-# past the 128 MB VMEM cap.  Halving CH halves every live slab value;
-# the (CH, rp) Gram/matvec dots stay MXU-sized.
+# Base (largest-shape) rows per chunked pass over C inside the kernels.
+# The dd slab temporaries live across Mosaic's scheduler as
+# register-allocator SPILL SLOTS scaling with CH*rp — measured 71 MB of
+# spills at CH=512/rp=1024 on the pd stream kernel, pushing the n=5000
+# pd and n=1000 SOCP benchmark shapes past the 128 MB VMEM cap; 256 at
+# rp=1024 is the proven-good product.
 CH = 256
+
+# Spill-safe slab budget (words of CH*rp).  Smaller rp takes
+# proportionally larger chunks via pick_ch — at the LP n=1000 reduced
+# shape (rp=256) this quadruples the rows per chunk and cuts every
+# pass's sequential chunk count 4x, directly attacking the measured
+# ~1 ms per-step latency floor (round-3 VERDICT item 2; the round-3
+# blanket CH 512->256 halving is also what slowed the n=1000 flagship
+# barrier rows ~40%).
+_CH_BUDGET = 256 * 1024
+
+
+def pick_ch(rp: int) -> int:
+    """Chunk rows for passes over C at padded column count ``rp``."""
+    return int(max(CH, min(1024, (_CH_BUDGET // max(rp, 1)) // CH * CH)))
 
 
 def _pad(n: int) -> int:
@@ -242,7 +255,7 @@ def _dd_recip(hi, lo):
     return dd.dd_add(r0, jnp.zeros_like(r0), ch, cl)
 
 
-def _make_foreach_resident(Chi_ref, Clo_ref, nck: int):
+def _make_foreach_resident(Chi_ref, Clo_ref, nck: int, CH: int = CH):
     """foreach_c over VMEM-resident C: body(ic, ch, cl, acc) per CH-slab."""
     def foreach(body, init, need_lo: bool = True):
         del need_lo  # resident slabs are free either way
@@ -255,7 +268,7 @@ def _make_foreach_resident(Chi_ref, Clo_ref, nck: int):
 
 
 def _make_foreach_stream(Chi_ref, Clo_ref, bufh_ref, bufl_ref, sem_ref,
-                         nck: int):
+                         nck: int, CH: int = CH):
     """foreach_c over HBM-resident C: each pass streams CH-row slabs
     through a double-buffered VMEM window (guide pattern: start the DMA
     for slab ic+1 while computing on slab ic; WAR is safe because slot
@@ -343,11 +356,27 @@ def _factor_jittered(l_ref, dinv_ref, Hs, eye, nb: int):
                                         jnp.ones((), bool)))
 
 
+def dir_stall_tol(epsilon: float, floor: float = 1e-6,
+                  cap: float = 1e-3) -> float:
+    """ε-derived direction-quality gate for the dd-PCG escalation.
+
+    Maps the solve's requested duality-gap tolerance to the L2-relative
+    direction residual above which the escalation fires:
+    τ = clamp(0.1·√ε, floor, cap).  At the package-default ε=1e-10
+    this is exactly the historical 1e-6 gate (kernel semantics
+    unchanged for strict solves); at the reference benchmark ε=1e-4 it
+    loosens to 1e-3, so only genuinely diverged refinements (the
+    κ·eps32 > 1 O(1)-error cases the escalation was built for) pay the
+    PCG.  Callers square it for the rn2/bn2 comparison."""
+    import math
+    return min(cap, max(floor, 0.1 * math.sqrt(epsilon)))
+
+
 def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
                     zhi, zlo, tPhi, tPlo,
                     l_ref, dinv_ref, x_ref, vec_ref,
                     *, nb: int, refine: int, has_P: bool, r: int,
-                    rp: int):
+                    rp: int, stall_rel2: float = 1e-12, CH: int = CH):
     """Shared kernel core: slacks -> gradient -> f32 factor -> dd-refined
     Newton direction.
 
@@ -358,10 +387,14 @@ def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
     kp.  Per-row dd vectors (s, w=1/s^2, 1/s) persist in ``vec_ref``
     columns [0:2)=s, [2:4)=w, [4:6)=1/s.
     """
-    # ---- pass 1: slacks s = d - C z, 1/s, w = 1/s^2 (into vec_ref), and
-    # the barrier gradient accumulation C^T (1/s) ---------------------------
+    # ---- pass 1 (fused): slacks s = d - C z, 1/s, w = 1/s^2 (into
+    # vec_ref), the barrier gradient accumulation C^T (1/s), AND the f32
+    # Gram H32 = C^T diag(w) C — one pass over C instead of the former
+    # two (every saved pass removes a full chunk loop of sequential
+    # VPU/MXU ops, the measured per-step floor; in streaming mode it
+    # also removes one hi-half HBM read of C) -------------------------------
     def p1_body(ic, ch, cl, acc):
-        ah, al = acc
+        ah, al, H = acc
         i0 = pl.multiple_of(ic * CH, CH)
         mh, ml = dd.dd_matvec_cols(ch, cl, zhi, zlo)
         sh_c, sl_c = dd.dd_add(dhi_ref[pl.ds(i0, CH), :],
@@ -376,26 +409,17 @@ def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
         vec_ref[pl.ds(i0, CH), 5:6] = isl_c
         ph, pl2 = dd.dd_mul(ch, cl, ish_c, isl_c)
         rh_c, rl_c = dd.dd_reduce(ph, pl2, axis=0)
-        return dd.dd_add(ah, al, rh_c, rl_c)
+        ah, al = dd.dd_add(ah, al, rh_c, rl_c)
+        return ah, al, H + _dot_tn(ch * wh_c, ch)
 
     zer = jnp.zeros((1, rp), jnp.float32)
-    bth, btl = foreach_c(p1_body, (zer, zer))
+    bth, btl, H32 = foreach_c(
+        p1_body, (zer, zer, jnp.zeros((rp, rp), jnp.float32)))
 
     gh, gl = dd.dd_add(tchi, tclo, bth, btl)
     if has_P:
         pzh, pzl = _dd_pmatvec_row(tPhi, tPlo, zhi, zlo)
         gh, gl = dd.dd_add(gh, gl, pzh, pzl)
-
-    # ---- pass 2: Hessian preconditioner H32 = [tP +] C^T diag(w) C --------
-    def p2_body(ic, ch, cl, H):
-        del cl
-        i0 = pl.multiple_of(ic * CH, CH)
-        w32c = vec_ref[pl.ds(i0, CH), 2:3]
-        return H + _dot_tn(ch * w32c, ch)
-
-    H32 = foreach_c(p2_body, jnp.zeros((rp, rp), jnp.float32),
-                    need_lo=False)
-    if has_P:
         H32 = H32 + tPhi
     Hs, dsc_r, eye = _equilibrate(H32, r, rp)
     _factor_jittered(l_ref, dinv_ref, Hs, eye, nb)
@@ -406,11 +430,19 @@ def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
 
     def _dd_apply(xh, xl):
         """True-operator dd matvec H x, matrix-free
-        (chunked pass: C^T (w * (C x)))."""
+        (chunked pass: C^T (w * (C x))).
+
+        Side effect: stores the per-row product C x (dd) into vec_ref
+        columns [6:8).  After _refined_solve returns, those columns
+        hold C dx of the FINAL direction (its last act on every path is
+        a dd_apply on the returned iterate), so the line-search sweep
+        reads them instead of paying another full pass over C."""
         def body(ic, ch, cl, acc):
             ah, al = acc
             i0 = pl.multiple_of(ic * CH, CH)
             yh_c, yl_c = dd.dd_matvec_cols(ch, cl, xh, xl)
+            vec_ref[pl.ds(i0, CH), 6:7] = yh_c
+            vec_ref[pl.ds(i0, CH), 7:8] = yl_c
             wyh, wyl = dd.dd_mul(vec_ref[pl.ds(i0, CH), 2:3],
                                  vec_ref[pl.ds(i0, CH), 3:4], yh_c, yl_c)
             ph, pl2 = dd.dd_mul(ch, cl, wyh, wyl)
@@ -424,14 +456,15 @@ def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
         return hxh, hxl
 
     xh, xl, rh, rl, rn2, bn2 = _refined_solve(
-        _precond_solve, _dd_apply, Hs, dsc_r, gh, gl, refine, rp)
+        _precond_solve, _dd_apply, Hs, dsc_r, gh, gl, refine, rp,
+        stall_rel2=stall_rel2)
 
     return dict(xh=xh, xl=xl, gh=gh, gl=gl, rh=rh, rl=rl,
                 rn2=rn2, bn2=bn2)
 
 
 def _refined_solve(precond_solve, dd_apply, Hs, dsc_r, gh, gl, refine,
-                   rp):
+                   rp, stall_rel2: float = 1e-12):
     """Solve H dx = -g: `refine` rounds of factor-preconditioned
     iterative refinement with matrix-free dd residuals, then a stall
     escalation — plain refinement diverges once kappa(Hs)*eps32 > 1
@@ -449,6 +482,16 @@ def _refined_solve(precond_solve, dd_apply, Hs, dsc_r, gh, gl, refine,
     exits early once the equilibrated residual reaches the dd floor.
     Shared by the LP/QP (_direction_core), SOCP (pallas_socp) and
     dense-KKT (pallas_kkt) kernels.
+
+    ``stall_rel2``: squared L2-relative residual above which the PCG
+    escalation fires.  The default 1e-12 (rel residual 1e-6) suits the
+    strictest duality-gap targets; callers thread a looser, ε-derived
+    gate (ops/newton.py) so an ε=1e-4 solve does not pay 48 PCG
+    iterations per step polishing directions to 1e-13 — the escalation
+    exists to rescue REFINEMENT DIVERGENCE (κ·eps32 > 1 leaves O(1)
+    error), not to over-solve converged directions (round-3 VERDICT:
+    the ungated escalation slowed the flagship LP/QP n=1000 ε=1e-4
+    rows ~40% while over-solving to 2.8e-9).
     Returns (xh, xl, rh, rl, rn2, bn2), residual norms in the
     equilibrated metric."""
     def dd_resid(xh, xl):
@@ -458,22 +501,37 @@ def _refined_solve(precond_solve, dd_apply, Hs, dsc_r, gh, gl, refine,
     xh = jnp.zeros((1, rp), jnp.float32)
     xl = jnp.zeros((1, rp), jnp.float32)
     rh, rl = -gh, -gl
+    bn2 = jnp.sum((gh * dsc_r) ** 2)
 
-    # fori_loop, NOT a Python unroll: each unrolled dd_resid instance
+    # while_loop, NOT a Python unroll: each unrolled dd_resid instance
     # kept its own (rp, rp)-scale temporaries live for Mosaic's register
     # allocator — measured 101 MB of spill slots on the SOCP kernel at
-    # rp=1024 (the VMEM overflow), collapsing to one instance here
-    def _ref_round(_, c):
-        xh, xl, rh, rl = c
+    # rp=1024 (the VMEM overflow), collapsing to one instance here.
+    # Early exit once the equilibrated residual clears the stall gate
+    # with two digits to spare (τ_exit = τ_gate/100, floored at the dd
+    # residual floor): each skipped round saves a full dd pass over C
+    # (the dominant sequential cost of the step; most well-conditioned
+    # steps converge in 1–2 rounds, and a converged residual can only
+    # bounce around its floor on further rounds).  The margin keeps the
+    # accepted direction comfortably better than the gate the caller
+    # reasons about.
+    exit_rel2 = max(stall_rel2 * 1e-4, 1e-25)
+
+    def _ref_cond(c):
+        i, xh, xl, rh, rl = c
+        rn2c = jnp.sum((rh * dsc_r) ** 2)
+        return (i < refine) & (rn2c > exit_rel2 * bn2)
+
+    def _ref_round(c):
+        i, xh, xl, rh, rl = c
         corr = dsc_r * precond_solve(rh * dsc_r)
         xh, xl = dd.dd_add(xh, xl, corr, jnp.zeros_like(corr))
         rh, rl = dd_resid(xh, xl)
-        return xh, xl, rh, rl
+        return i + 1, xh, xl, rh, rl
 
-    xh, xl, rh, rl = lax.fori_loop(0, refine, _ref_round,
-                                   (xh, xl, rh, rl))
-
-    bn2 = jnp.sum((gh * dsc_r) ** 2)
+    _, xh, xl, rh, rl = lax.while_loop(
+        _ref_cond, _ref_round,
+        (jnp.zeros((), jnp.int32), xh, xl, rh, rl))
 
     def _dd_pcg(carry):
         """dd-residual PCG for the correction system, run ENTIRELY in
@@ -530,43 +588,57 @@ def _refined_solve(precond_solve, dd_apply, Hs, dsc_r, gh, gl, refine,
         hxh, hxl = dd_apply(xh2, xl2)
         rh2, rl2 = dd.dd_add(-gh, -gl, -hxh, -hxl)
         # keep the PCG result only if it actually improved the residual
-        # (breakdown guard: a degenerate direction can spoil the carry)
+        # (breakdown guard: a degenerate direction can spoil the carry).
+        # Real control flow, not a select: on the reject branch the
+        # dd_apply side channel (stored per-row products, see
+        # _direction_core._dd_apply) must be refreshed for the kept
+        # iterate, and the extra operator application should only run
+        # when the branch does.
         better = (jnp.sum((rh2 * dsc_r) ** 2)
                   < jnp.sum((rh0 * dsc_r) ** 2))
-        pick = lambda a, b: jnp.where(better, a, b)   # noqa: E731
-        return (pick(xh2, xh0), pick(xl2, xl0),
-                pick(rh2, rh0), pick(rl2, rl0))
+
+        def _keep_new(_):
+            return xh2, xl2, rh2, rl2
+
+        def _keep_old(_):
+            dd_apply(xh0, xl0)   # refresh stored C·x for the kept x
+            return xh0, xl0, rh0, rl0
+
+        return lax.cond(better, _keep_new, _keep_old, None)
 
     rn2 = jnp.sum((rh * dsc_r) ** 2)
-    stalled = rn2 > 1e-12 * bn2
+    stalled = rn2 > stall_rel2 * bn2
     xh, xl, rh, rl = lax.cond(
         stalled, _dd_pcg, lambda c: c, (xh, xl, rh, rl))
     rn2 = jnp.sum((rh * dsc_r) ** 2)
     return xh, xl, rh, rl, rn2, bn2
 
 
-def _make_foreach(Chi_ref, Clo_ref, scratch, nck: int, stream: bool):
+def _make_foreach(Chi_ref, Clo_ref, scratch, nck: int, stream: bool,
+                  CH: int = CH):
     """Build the foreach_c for a kernel invocation; ``scratch`` is the
     trailing scratch-ref tuple (streaming adds bufh/bufl/sems)."""
     if stream:
         bufh_ref, bufl_ref, sem_ref = scratch[-3:]
         return (_make_foreach_stream(Chi_ref, Clo_ref, bufh_ref, bufl_ref,
-                                     sem_ref, nck), scratch[:-3])
-    return _make_foreach_resident(Chi_ref, Clo_ref, nck), scratch
+                                     sem_ref, nck, CH), scratch[:-3])
+    return _make_foreach_resident(Chi_ref, Clo_ref, nck, CH), scratch
 
 
 def _newton_dir_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
                        tclo_ref, zhi_ref, zlo_ref, tPhi_ref, tPlo_ref,
                        dxhi_ref, dxlo_ref, ghi_ref, glo_ref, rn_ref,
                        *scratch, nb: int, nck: int, refine: int,
-                       has_P: bool, r: int, rp: int, stream: bool):
+                       has_P: bool, r: int, rp: int, stream: bool,
+                       stall_rel2: float = 1e-12, CH: int = CH):
     foreach_c, (l_ref, dinv_ref, x_ref, vec_ref) = _make_foreach(
-        Chi_ref, Clo_ref, scratch, nck, stream)
+        Chi_ref, Clo_ref, scratch, nck, stream, CH)
     out = _direction_core(
         foreach_c, dhi_ref, dlo_ref, tchi_ref[:],
         tclo_ref[:], zhi_ref[:], zlo_ref[:], tPhi_ref[:], tPlo_ref[:],
         l_ref, dinv_ref, x_ref, vec_ref,
-        nb=nb, refine=refine, has_P=has_P, r=r, rp=rp)
+        nb=nb, refine=refine, has_P=has_P, r=r, rp=rp,
+        stall_rel2=stall_rel2, CH=CH)
     dxhi_ref[:] = out["xh"]
     dxlo_ref[:] = out["xl"]
     ghi_ref[:] = out["gh"]
@@ -600,7 +672,8 @@ def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
                         sig_ref, xnh_ref, xnl_ref, stats_ref,
                         *scratch, nb: int, nck: int, refine: int,
                         has_P: bool, r: int, rp: int, alpha: float,
-                        stream: bool):
+                        stream: bool, stall_rel2: float = 1e-12,
+                        CH: int = CH):
     """Full Newton step: direction + closed-form backtracking line search.
 
     Replaces the engine's f64 candidate sweep (ops/barrier.py ls_objs):
@@ -613,13 +686,14 @@ def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
     sequential shrink (reference: NewtonSolver.py:157-206).
     """
     foreach_c, (l_ref, dinv_ref, x_ref, vec_ref) = _make_foreach(
-        Chi_ref, Clo_ref, scratch, nck, stream)
+        Chi_ref, Clo_ref, scratch, nck, stream, CH)
     zhi, zlo = zhi_ref[:], zlo_ref[:]
     tPhi, tPlo = tPhi_ref[:], tPlo_ref[:]
     out = _direction_core(
         foreach_c, dhi_ref, dlo_ref, tchi_ref[:], tclo_ref[:],
         zhi, zlo, tPhi, tPlo, l_ref, dinv_ref, x_ref, vec_ref,
-        nb=nb, refine=refine, has_P=has_P, r=r, rp=rp)
+        nb=nb, refine=refine, has_P=has_P, r=r, rp=rp,
+        stall_rel2=stall_rel2, CH=CH)
     xh, xl = out["xh"], out["xl"]
     gh, gl = out["gh"], out["gl"]
     sig = sig_ref[:]                                  # (1, J) f32
@@ -637,21 +711,25 @@ def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
     else:
         q2 = jnp.zeros((), jnp.float32)
 
-    # candidate sweep, chunked over C's rows: u = (C dx)/s in dd -> f32,
-    # y = sigma_j * u_i per chunk, accumulate sum phi(y) and max(u)
-    def sw_body(ic, ch, cl, acc):
+    # candidate sweep: u = (C dx)/s in dd -> f32, y = sigma_j * u_i per
+    # chunk, accumulate sum phi(y) and max(u).  C dx comes from the
+    # vec_ref side channel _direction_core._dd_apply filled during the
+    # final refinement pass — NO pass over C (saves a full chunk loop,
+    # and in streaming mode a full hi+lo HBM read of C per step)
+    def sw_body(ic, acc):
         phis, um = acc
         i0 = pl.multiple_of(ic * CH, CH)
-        yh_c, yl_c = dd.dd_matvec_cols(ch, cl, xh, xl)
-        uh_c, _ = dd.dd_mul(yh_c, yl_c, vec_ref[pl.ds(i0, CH), 4:5],
+        uh_c, _ = dd.dd_mul(vec_ref[pl.ds(i0, CH), 6:7],
+                            vec_ref[pl.ds(i0, CH), 7:8],
+                            vec_ref[pl.ds(i0, CH), 4:5],
                             vec_ref[pl.ds(i0, CH), 5:6])
         u32 = uh_c                                     # (CH, 1)
         y = u32 * sig                                  # (CH, J)
         phis = phis + jnp.sum(_phi_stable(y), axis=0, keepdims=True)
         return phis, jnp.maximum(um, jnp.max(u32))
 
-    phisum, umax = foreach_c(
-        sw_body,
+    phisum, umax = lax.fori_loop(
+        0, nck, sw_body,
         (jnp.zeros((1, J), jnp.float32), jnp.float32(-jnp.inf)))
     domain = (sig * umax) < (1.0 - 1e-6)
     armijo = (sig * ((1.0 - alpha) * gdx32) + sig * sig * q2
@@ -679,9 +757,9 @@ def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
     stats_ref[0, 7] = q2
 
 
-def _padk(k: int) -> int:
-    """Row padding for C: multiple of the chunk size CH."""
-    return max(CH, -(-k // CH) * CH)
+def _padk(k: int, ch: int = CH) -> int:
+    """Row padding for C: multiple of the chunk size ``ch``."""
+    return max(ch, -(-k // ch) * ch)
 
 
 def supported(k: int, r: int, has_P: bool) -> bool:
@@ -690,10 +768,12 @@ def supported(k: int, r: int, has_P: bool) -> bool:
     With chunked passes over C (CH-row slabs), peak liveness is the C
     input pair + H/L/P blocks + ~a dozen (CH, rp) slab temporaries.
     """
-    kp, rp = _padk(k), _pad(r)
+    rp = _pad(r)
+    ch = pick_ch(rp)
+    kp = _padk(k, ch)
     words = (2 * kp * rp                      # Chi/Clo inputs
              + (4 + (2 if has_P else 0)) * rp * rp   # Hs, L, [tP pair]
-             + 14 * CH * rp                   # slab dd temporaries
+             + 14 * ch * rp                   # slab dd temporaries
              + 10 * kp)                       # vec_ref and (kp,1) vectors
     return words * 4 <= 110 * 1024 * 1024 and rp <= 1536
 
@@ -707,10 +787,12 @@ def supported_streaming(k: int, r: int, has_P: bool) -> bool:
     """Whether the HBM-streaming kernel covers (k, r): C lives in HBM, so
     only H/L/[tP], the double-buffered slab window, slab dd temporaries,
     and the per-row vec_ref must fit VMEM."""
-    kp, rp = _padk(k), _pad(r)
+    rp = _pad(r)
+    ch = pick_ch(rp)
+    kp = _padk(k, ch)
     words = ((4 + (2 if has_P else 0)) * rp * rp    # Hs, L, [tP pair]
-             + 4 * CH * rp                   # double-buffered C window
-             + 14 * CH * rp                  # slab dd temporaries
+             + 4 * ch * rp                   # double-buffered C window
+             + 14 * ch * rp                  # slab dd temporaries
              + 10 * kp)                      # vec_ref and (kp,1) vectors
     return (words * 4 <= 110 * 1024 * 1024 and rp <= 1536
             and kp <= _STREAM_MAX_ROWS)
@@ -743,7 +825,8 @@ def _pad2(a, m, n):
 def prep_reduced_consts(C, d) -> ReducedConsts:
     """Split/pad the (C, d) inequality block once per solve."""
     k, r = C.shape
-    kp, rp = _padk(k), _pad(r)
+    rp = _pad(r)
+    kp = _padk(k, pick_ch(rp))
     Chi, Clo = dd.split_f64(_pad2(C, kp, rp))
     dcol = _pad2(d[:, None], kp, 1)
     # padded slack rows fixed at 1 (finite logs/reciprocals)
@@ -758,7 +841,7 @@ def _c_in_specs(stream: bool):
     return [pl.BlockSpec(memory_space=c_space)] * 2
 
 
-def _common_scratch(kp: int, rp: int, stream: bool):
+def _common_scratch(kp: int, rp: int, stream: bool, ch: int = CH):
     """l/dinv/x/vec scratch (+ streaming slab window and DMA sems);
     l_ref is reused in place for W = L⁻¹ (_chol_invert_ref)."""
     shapes = [
@@ -769,8 +852,8 @@ def _common_scratch(kp: int, rp: int, stream: bool):
     ]
     if stream:
         shapes += [
-            pltpu.VMEM((2, CH, rp), jnp.float32),
-            pltpu.VMEM((2, CH, rp), jnp.float32),
+            pltpu.VMEM((2, ch, rp), jnp.float32),
+            pltpu.VMEM((2, ch, rp), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ]
     return shapes
@@ -778,7 +861,8 @@ def _common_scratch(kp: int, rp: int, stream: bool):
 
 def reduced_newton_dir_prepared(consts: ReducedConsts, tc, z, tP=None, *,
                                 refine: int = 3, interpret: bool = False,
-                                stream: bool = False):
+                                stream: bool = False,
+                                dir_tol: float = 1e-6):
     """Newton direction from pre-split constants; see reduced_newton_dir.
 
     Not jitted itself (consts.k/r are static Python ints): call under an
@@ -788,8 +872,9 @@ def reduced_newton_dir_prepared(consts: ReducedConsts, tc, z, tP=None, *,
     k, r = consts.k, consts.r
     rp = _pad(r)
     nb = rp // BLK
+    ch = pick_ch(rp)
     kp = consts.Chi.shape[0]
-    nck = kp // CH
+    nck = kp // ch
     f64 = tc.dtype
 
     Chi, Clo, dhi, dlo = consts.Chi, consts.Clo, consts.dhi, consts.dlo
@@ -802,7 +887,8 @@ def reduced_newton_dir_prepared(consts: ReducedConsts, tc, z, tP=None, *,
 
     kernel = functools.partial(
         _newton_dir_kernel, nb=nb, nck=nck, refine=refine,
-        has_P=tP is not None, r=r, rp=rp, stream=stream)
+        has_P=tP is not None, r=r, rp=rp, stream=stream,
+        stall_rel2=float(dir_tol) ** 2, CH=ch)
     # Kernel internals are pure f32; trace them with x64 disabled — Mosaic's
     # TPU lowering infinitely recurses on some x64-weak-typed literals
     # (observed on jax 0.9.0).
@@ -820,7 +906,7 @@ def reduced_newton_dir_prepared(consts: ReducedConsts, tc, z, tP=None, *,
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 4
             + (pl.BlockSpec(memory_space=pltpu.SMEM),),
-            scratch_shapes=_common_scratch(kp, rp, stream),
+            scratch_shapes=_common_scratch(kp, rp, stream, ch),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024),
             interpret=interpret,
@@ -834,7 +920,8 @@ def reduced_newton_dir_prepared(consts: ReducedConsts, tc, z, tP=None, *,
 def reduced_newton_step_prepared(consts: ReducedConsts, tc, z, tP, sigmas,
                                  *, alpha: float, refine: int = 3,
                                  interpret: bool = False,
-                                 stream: bool = False):
+                                 stream: bool = False,
+                                 dir_tol: float = 1e-6):
     """One full Newton iteration (direction + line search) as ONE kernel.
 
     Args:
@@ -852,8 +939,9 @@ def reduced_newton_step_prepared(consts: ReducedConsts, tc, z, tP, sigmas,
     k, r = consts.k, consts.r
     rp = _pad(r)
     nb = rp // BLK
+    ch = pick_ch(rp)
     kp = consts.Chi.shape[0]
-    nck = kp // CH
+    nck = kp // ch
     f64 = tc.dtype
 
     tchi, tclo = dd.split_f64(_pad2(tc[None, :], 1, rp))
@@ -873,7 +961,7 @@ def reduced_newton_step_prepared(consts: ReducedConsts, tc, z, tP, sigmas,
     kernel = functools.partial(
         _newton_step_kernel, nb=nb, nck=nck, refine=refine,
         has_P=tP is not None, r=r, rp=rp, alpha=float(alpha),
-        stream=stream)
+        stream=stream, stall_rel2=float(dir_tol) ** 2, CH=ch)
     with jax.enable_x64(False):
         xnh, xnl, stats = pl.pallas_call(
             kernel,
@@ -886,7 +974,7 @@ def reduced_newton_step_prepared(consts: ReducedConsts, tc, z, tP, sigmas,
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2
             + (pl.BlockSpec(memory_space=pltpu.SMEM),),
-            scratch_shapes=_common_scratch(kp, rp, stream),
+            scratch_shapes=_common_scratch(kp, rp, stream, ch),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024),
             interpret=interpret,

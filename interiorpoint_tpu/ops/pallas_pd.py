@@ -43,7 +43,7 @@ from .pallas_newton import (CH, ReducedConsts, _STREAM_MAX_ROWS,
                             _common_scratch,
                             _dd_pmatvec_row, _dd_recip, _equilibrate,
                             _factor_jittered, _make_foreach, _pad, _padk,
-                            _pad2, _refined_solve, _w_solve)
+                            _pad2, _refined_solve, _w_solve, pick_ch)
 
 _GAMMA = 0.99995
 
@@ -54,20 +54,24 @@ def pd_supported(k: int, r: int, has_P: bool) -> bool:
     budget: the PD kernel carries ~26·kp words of per-row state
     (vec/vec2 scratch at 8 columns each, the (s, λ) dd pairs in and
     out, the d pair) vs the Newton kernel's 10·kp."""
-    kp, rp = _padk(k), _pad(r)
+    rp = _pad(r)
+    ch = pick_ch(rp)
+    kp = _padk(k, ch)
     words = (2 * kp * rp                      # Chi/Clo inputs
              + (4 + (2 if has_P else 0)) * rp * rp
-             + 14 * CH * rp                   # slab dd temporaries
+             + 14 * ch * rp                   # slab dd temporaries
              + 26 * kp)                       # per-row state (see above)
     return words * 4 <= 110 * 1024 * 1024 and rp <= 1536
 
 
 def pd_supported_streaming(k: int, r: int, has_P: bool) -> bool:
     """HBM-streaming envelope for the PD step kernel (C pair in HBM)."""
-    kp, rp = _padk(k), _pad(r)
+    rp = _pad(r)
+    ch = pick_ch(rp)
+    kp = _padk(k, ch)
     words = ((4 + (2 if has_P else 0)) * rp * rp
-             + 4 * CH * rp                    # double-buffered C window
-             + 14 * CH * rp
+             + 4 * ch * rp                    # double-buffered C window
+             + 14 * ch * rp
              + 26 * kp)
     return (words * 4 <= 110 * 1024 * 1024 and rp <= 1536
             and kp <= _STREAM_MAX_ROWS)
@@ -86,7 +90,8 @@ def _pd_step_core(foreach_c, dhi_ref, dlo_ref, qhi, qlo, zhi, zlo,
                   s_ref, lam_ref, tPhi, tPlo,
                   l_ref, dinv_ref, x_ref, vec_ref, vec2_ref,
                   *, nb: int, nck: int, refine: int, has_P: bool, r: int,
-                  rp: int, k: int, kcnt: float):
+                  rp: int, k: int, kcnt: float,
+                  stall_rel2: float = 1e-12, CH: int = CH):
     """One PD iteration; returns (z', s'λ' written to refs by caller)…
     see module docstring.  vec_ref columns: [0:2) rp, [2:4) w, [4:6) 1/s,
     [6:8) λ (copied for chunk access).  vec2_ref: [0:2) ds, [2:4) dλ,
@@ -201,7 +206,8 @@ def _pd_step_core(foreach_c, dhi_ref, dlo_ref, qhi, qlo, zhi, zlo,
         the FINAL true-operator residual norms (rn2, bn2) in the
         equilibrated metric for the driver's solve-quality gate."""
         xh, xl, _, _, rn2, bn2 = _refined_solve(
-            _precond_solve, _apply_h, Hs, dsc_r, -bh, -bl, refine, rp)
+            _precond_solve, _apply_h, Hs, dsc_r, -bh, -bl, refine, rp,
+            stall_rel2=stall_rel2)
         return xh, xl, rn2[None, None], bn2[None, None]
 
     # ---- rhs builder + direction: t = (rc − λ·rp)/s per row ------------
@@ -358,9 +364,10 @@ def _pd_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, qhi_ref, qlo_ref,
                     tPlo_ref,
                     znh_ref, znl_ref, sout_ref, lamout_ref, stats_ref,
                     *scratch, nb: int, nck: int, refine: int, has_P: bool,
-                    r: int, rp: int, k: int, kcnt: float, stream: bool):
+                    r: int, rp: int, k: int, kcnt: float, stream: bool,
+                    stall_rel2: float = 1e-12, CH: int = CH):
     foreach_c, scratch = _make_foreach(Chi_ref, Clo_ref, scratch, nck,
-                                       stream)
+                                       stream, CH)
     l_ref, dinv_ref, x_ref, vec_ref, vec2_ref = scratch
     # copy the (s, λ) state into the working columns
     vec2_ref[:, 4:6] = sin_ref[:]
@@ -371,7 +378,7 @@ def _pd_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, qhi_ref, qlo_ref,
         tPhi_ref[:], tPlo_ref[:],
         l_ref, dinv_ref, x_ref, vec_ref, vec2_ref,
         nb=nb, nck=nck, refine=refine, has_P=has_P, r=r, rp=rp, k=k,
-        kcnt=kcnt)
+        kcnt=kcnt, stall_rel2=stall_rel2, CH=CH)
     znh_ref[:] = out["znh"]
     znl_ref[:] = out["znl"]
     stats_ref[0, 0] = out["gap2"][0, 0]
@@ -398,7 +405,7 @@ def _pd_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, qhi_ref, qlo_ref,
 
 def pd_step_prepared(consts: ReducedConsts, q, z, s, lam, tP=None, *,
                      refine: int = 3, interpret: bool = False,
-                     stream: bool = False):
+                     stream: bool = False, dir_tol: float = 1e-6):
     """One fused PD iteration from pre-split constants.
 
     Args: q/z f64 (r,); s/lam f64 (k,) strictly positive (padded rows —
@@ -412,8 +419,9 @@ def pd_step_prepared(consts: ReducedConsts, q, z, s, lam, tP=None, *,
     k, r = consts.k, consts.r
     rp = _pad(r)
     nb = rp // BLK
+    ch = pick_ch(rp)
     kp = consts.Chi.shape[0]
-    nck = kp // CH
+    nck = kp // ch
     f64 = q.dtype
 
     qhi, qlo = dd.split_f64(_pad2(q[None, :], 1, rp))
@@ -432,7 +440,7 @@ def pd_step_prepared(consts: ReducedConsts, q, z, s, lam, tP=None, *,
     kernel = functools.partial(
         _pd_step_kernel, nb=nb, nck=nck, refine=refine,
         has_P=tP is not None, r=r, rp=rp, k=k, kcnt=float(k),
-        stream=stream)
+        stream=stream, stall_rel2=float(dir_tol) ** 2, CH=ch)
     with jax.enable_x64(False):
         znh, znl, sout, lamout, stats = pl.pallas_call(
             kernel,
@@ -451,7 +459,7 @@ def pd_step_prepared(consts: ReducedConsts, q, z, s, lam, tP=None, *,
             # strips the trailing 3 scratch entries in stream mode
             scratch_shapes=(_common_scratch(kp, rp, False)
                             + [pltpu.VMEM((kp, 8), jnp.float32)]
-                            + _common_scratch(kp, rp, stream)[4:]),
+                            + _common_scratch(kp, rp, stream, ch)[4:]),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024),
             interpret=interpret,

@@ -63,6 +63,7 @@ from .pallas_newton import (
     _dot, _dot_tn,
     _equilibrate, _factor_jittered, _make_foreach_resident, _pad, _pad2,
     _padk, _phi_stable, _refined_solve, _row_to_col, _w_solve,
+    pick_ch,
 )
 
 # Cone-count padding: per-cone quantities live in (Kp, .) tensors.
@@ -72,7 +73,8 @@ KP = BLK
 def _socp_core(foreach_a, E_ref, bhi_ref, blo_ref, chi_ref, clo_ref,
                dhi_ref, dlo_ref, tqhi, tqlo, zhi, zlo, tPhi, tPlo,
                l_ref, dinv_ref, x_ref, vec_ref,
-               *, nb: int, refine: int, has_P: bool, r: int, rp: int):
+               *, nb: int, refine: int, has_P: bool, r: int, rp: int,
+               stall_rel2: float = 1e-12, CH: int = CH):
     """Slacks -> gradient -> f32 factor -> dd-refined Newton direction.
 
     Every pass over the stacked cone matrix A_flat is CHUNKED through
@@ -207,7 +209,8 @@ def _socp_core(foreach_a, E_ref, bhi_ref, blo_ref, chi_ref, clo_ref,
 
     # refinement + dd-PCG stall escalation, shared with the LP/QP kernel
     xh, xl, rh, rl, rn2, bn2 = _refined_solve(
-        _precond_solve, _dd_apply, Hs, dsc_r, gh, gl, refine, rp)
+        _precond_solve, _dd_apply, Hs, dsc_r, gh, gl, refine, rp,
+        stall_rel2=stall_rel2)
 
     return dict(xh=xh, xl=xl, gh=gh, gl=gl, rn2=rn2, bn2=bn2,
                 seh=seh, sel=sel, rhsh=rhsh, rhsl=rhsl,
@@ -220,7 +223,8 @@ def _socp_step_kernel(Ahi_ref, Alo_ref, bhi_ref, blo_ref, E_ref,
                       sig_ref, xnh_ref, xnl_ref, dxh_ref, dxl_ref,
                       stats_ref, l_ref, dinv_ref, x_ref, vec_ref,
                       *, nb: int, nck: int, refine: int, has_P: bool,
-                      r: int, rp: int, alpha: float):
+                      r: int, rp: int, alpha: float,
+                      stall_rel2: float = 1e-12, CH: int = CH):
     """Full SOCP Newton step: direction + closed-form line search.
 
     Line search: the cone slack along the step is quadratic in sigma,
@@ -238,14 +242,15 @@ def _socp_step_kernel(Ahi_ref, Alo_ref, bhi_ref, blo_ref, E_ref,
     (reference two-phase search: NewtonSolver.py:157-206; XLA sweep:
     ops/socp.py ls_objs).
     """
-    foreach_a = _make_foreach_resident(Ahi_ref, Alo_ref, nck)
+    foreach_a = _make_foreach_resident(Ahi_ref, Alo_ref, nck, CH)
     zhi, zlo = zhi_ref[:], zlo_ref[:]
     tPhi, tPlo = tPhi_ref[:], tPlo_ref[:]
     out = _socp_core(
         foreach_a, E_ref, bhi_ref, blo_ref, chi_ref, clo_ref, dhi_ref,
         dlo_ref, tqhi_ref[:], tqlo_ref[:], zhi, zlo, tPhi, tPlo,
         l_ref, dinv_ref, x_ref, vec_ref,
-        nb=nb, refine=refine, has_P=has_P, r=r, rp=rp)
+        nb=nb, refine=refine, has_P=has_P, r=r, rp=rp,
+        stall_rel2=stall_rel2, CH=CH)
     xh, xl = out["xh"], out["xl"]
     gh, gl = out["gh"], out["gl"]
     chi_m, clo_m = out["chi_m"], out["clo_m"]
@@ -344,12 +349,14 @@ def supported(K: int, M: int, r: int, has_P: bool) -> bool:
     """
     if K > KP:
         return False
-    kmp, rp = _padk(K * M), _pad(r)
+    rp = _pad(r)
+    ch = pick_ch(rp)
+    kmp = _padk(K * M, ch)
     words = (2 * kmp * rp                    # Ahi/Alo
              + kmp * KP                      # E
              + (4 + (2 if has_P else 0)) * rp * rp   # Hs, L, [tP pair]
              + 2 * KP * rp                   # G32, Gw32
-             + 14 * CH * rp                  # slab dd temporaries
+             + 14 * ch * rp                  # slab dd temporaries
              + 10 * kmp)                     # vec_ref and (kmp, 1) columns
     return words * 4 <= 110 * 1024 * 1024 and rp <= 1536
 
@@ -374,7 +381,8 @@ def prep_socp_consts(prob) -> SOCPConsts:
     """Flatten/pad/split the stacked cone tensors once per solve."""
     K, M, r = prob.A.shape
     km = K * M
-    kmp, rp = _padk(km), _pad(r)
+    rp = _pad(r)
+    kmp = _padk(km, pick_ch(rp))
     Ahi, Alo = dd.split_f64(_pad2(prob.A.reshape(km, r), kmp, rp))
     bhi, blo = dd.split_f64(_pad2(prob.b.reshape(km, 1), kmp, 1))
     row = jnp.arange(kmp)
@@ -389,7 +397,8 @@ def prep_socp_consts(prob) -> SOCPConsts:
 
 def socp_newton_step_prepared(consts: SOCPConsts, tq, z, tP, sigmas, *,
                               alpha: float, refine: int = 3,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              dir_tol: float = 1e-6):
     """One full SOCP Newton iteration (direction + line search) as ONE
     kernel.  Mirrors pallas_newton.reduced_newton_step_prepared.
 
@@ -408,8 +417,9 @@ def socp_newton_step_prepared(consts: SOCPConsts, tq, z, tP, sigmas, *,
     r = consts.r
     rp = _pad(r)
     nb = rp // BLK
+    ch = pick_ch(rp)
     kmp = consts.Ahi.shape[0]
-    nck = kmp // CH
+    nck = kmp // ch
     f64 = tq.dtype
 
     tqhi, tqlo = dd.split_f64(_pad2(tq[None, :], 1, rp))
@@ -425,7 +435,8 @@ def socp_newton_step_prepared(consts: SOCPConsts, tq, z, tP, sigmas, *,
 
     kernel = functools.partial(
         _socp_step_kernel, nb=nb, nck=nck, refine=refine,
-        has_P=tP is not None, r=r, rp=rp, alpha=float(alpha))
+        has_P=tP is not None, r=r, rp=rp, alpha=float(alpha),
+        stall_rel2=float(dir_tol) ** 2, CH=ch)
     with jax.enable_x64(False):
         xnh, xnl, dxh, dxl, stats = pl.pallas_call(
             kernel,

@@ -108,9 +108,14 @@ def pd_solve_fused(prob, z0, cfg, max_iters=None, *, stream=False,
     d_scale = (1.0 + jnp.max(jnp.abs(d))).astype(jnp.float32)
     q_scale = (1.0 + jnp.max(jnp.abs(q))).astype(jnp.float32)
 
+    # ε-derived stall gate for the in-kernel dd-PCG escalation, capped
+    # at 3e-5 so accepted directions stay comfortably inside the
+    # solve_ok gate below (srn2 ≤ 1e-8·sbn2, i.e. rel residual 1e-4)
+    from .pallas_newton import dir_stall_tol
+    dtol = dir_stall_tol(float(cfg.epsilon), cap=3e-5)
     step = lambda z, s, lam: pd_step_prepared(
         consts, q, z, s, lam, tP, refine=int(cfg.pallas_refine),
-        stream=stream, interpret=interpret)
+        stream=stream, interpret=interpret, dir_tol=dtol)
 
     def body(st):
         z, s, lam, it, stats, _ = st
