@@ -148,7 +148,7 @@ def _kkt_dir_kernel(Hhi_ref, Hlo_ref, Fhi_ref, Flo_ref, r1h_ref, r1l_ref,
         escalation)."""
         xh, xl, _, _, rn2, bn2 = _refined_solve(
             _precond_solve, h_dd, Hs, dsc_r, -bh, -bl, refine, rp,
-            stall_rel2=stall_rel2)
+            stall_rel2=stall_rel2, exit_rel2=1e-25)
         return xh, xl, rn2, bn2
 
     if not has_eq:

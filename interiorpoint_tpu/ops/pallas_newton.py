@@ -464,7 +464,8 @@ def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
 
 
 def _refined_solve(precond_solve, dd_apply, Hs, dsc_r, gh, gl, refine,
-                   rp, stall_rel2: float = 1e-12):
+                   rp, stall_rel2: float = 1e-12,
+                   exit_rel2: float | None = None):
     """Solve H dx = -g: `refine` rounds of factor-preconditioned
     iterative refinement with matrix-free dd residuals, then a stall
     escalation — plain refinement diverges once kappa(Hs)*eps32 > 1
@@ -514,8 +515,14 @@ def _refined_solve(precond_solve, dd_apply, Hs, dsc_r, gh, gl, refine,
     # steps converge in 1–2 rounds, and a converged residual can only
     # bounce around its floor on further rounds).  The margin keeps the
     # accepted direction comfortably better than the gate the caller
-    # reasons about.
-    exit_rel2 = max(stall_rel2 * 1e-4, 1e-25)
+    # reasons about.  ``exit_rel2`` overrides the margin for callers
+    # whose downstream accuracy is FLOORED by the H-solve grade — the
+    # KKT kernel's Schur-CG operator applications go through these
+    # solves, so its H-solves must exit at the dd floor, not at the
+    # stall gate (a 1e-8-grade H-solve caps the Mehrotra KKT residuals
+    # at ~1e-7; measured in tests/test_pallas_kkt.py).
+    if exit_rel2 is None:
+        exit_rel2 = max(stall_rel2 * 1e-4, 1e-25)
 
     def _ref_cond(c):
         i, xh, xl, rh, rl = c
