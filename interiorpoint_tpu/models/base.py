@@ -353,10 +353,22 @@ class BarrierDriver:
                     and self.cfg.dtype == "float64"):
                 from ..ops.pallas_newton import kernel_mode
                 P = getattr(prob, "P", None)
-                # Both the all-VMEM and the HBM-streaming kernel regimes
-                # keep per-step device time in the ms range, so either one
-                # stays single-program.
+                # All fused kernel regimes (VMEM-resident, HBM-streaming,
+                # and the XL split pipeline) keep per-step device time in
+                # the ms range, so any of them stays single-program.
                 if kernel_mode(*C.shape, P is not None) is not None:
+                    return False
+            A_s = getattr(prob, "A", None)
+            if (A_s is not None and getattr(A_s, "ndim", 0) == 3
+                    and self.cfg.use_pallas and self.cfg.mixed_precision
+                    and self.cfg.kkt_strategy == "cholesky"
+                    and self.cfg.dtype == "float64"):
+                from ..ops.pallas_socp import supported as socp_sup
+                from ..ops.pallas_xl import xl_socp_supported
+                K_s, M_s, r_s = A_s.shape
+                has_P_s = getattr(prob, "P", None) is not None
+                if (socp_sup(K_s, M_s, r_s, has_P_s)
+                        or xl_socp_supported(K_s, M_s, r_s, has_P_s)):
                     return False
         return self.n >= 2000
 

@@ -166,7 +166,7 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
         from . import pallas_newton
         C_lin, d_lin, lin_cost, P_lin = oracle.lin_form
         mode = pallas_newton.kernel_mode(*C_lin.shape, P_lin is not None)
-        if mode == "stream" and not cfg.allow_stream:
+        if mode in ("stream", "xl") and not cfg.allow_stream:
             mode = None   # e.g. under vmap (see SolverConfig.allow_stream)
         if mode is not None:
             use_fused = True
@@ -185,6 +185,7 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
     # one kernel per Newton step (ops/pallas_socp.py) replaces the XLA
     # dd cone contractions + emulated-f64 Hessian + mixed factor/solve.
     use_socp_fused = False
+    socp_xl = False
     if (not use_fused and not phase1_flag and oracle.socp_form is not None
             and cfg.use_pallas and cfg.mixed_precision
             and cfg.kkt_strategy == "cholesky" and not oracle.diag_hessian
@@ -193,8 +194,16 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
         from . import pallas_socp
         sprob = oracle.socp_form
         K_s, M_s, r_s = sprob.A.shape
-        if pallas_socp.supported(K_s, M_s, r_s, sprob.P is not None):
+        has_P_s = sprob.P is not None
+        if pallas_socp.supported(K_s, M_s, r_s, has_P_s):
             use_socp_fused = True
+        else:
+            from .pallas_xl import xl_socp_supported
+            if xl_socp_supported(K_s, M_s, r_s, has_P_s) \
+                    and cfg.allow_stream:
+                use_socp_fused = True
+                socp_xl = True
+        if use_socp_fused:
             sconsts = pallas_socp.prep_socp_consts(sprob)
             tq_s = (t * sprob.q if sprob.q is not None
                     else jnp.zeros((r_s,), dtype))
@@ -230,7 +239,18 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
         return jnp.argmin(jnp.abs(sigmas - sigma.astype(dtype)))
 
     def body(s: S):
-        if use_fused:
+        if use_fused and mode == "xl":
+            # Split pipeline: Pallas Gram/gradient pass + XLA factor +
+            # Pallas refine/line-search (ops/pallas_xl.py) — rp beyond
+            # the mega-kernel's VMEM envelope.
+            from . import pallas_xl
+            x_new, nd, _sigma, any_acc, dir_ok = (
+                pallas_xl.reduced_newton_step_xl_prepared(
+                    consts, tc, s.x, tP, sigmas, alpha=cfg.alpha,
+                    refine=cfg.pallas_refine, dir_tol=fused_dir_tol))
+            nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
+            j = _sigma_index(_sigma)
+        elif use_fused:
             # One kernel = direction + line search (ops/pallas_newton.py);
             # the f64 candidate sweep disappears from the critical path.
             x_new, nd, _sigma, any_acc, dir_ok = (
@@ -241,6 +261,14 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
             # An inaccurate direction (ill-conditioned stall) makes the
             # decrement read small prematurely; only trust convergence
             # when the direction residual is small.
+            nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
+            j = _sigma_index(_sigma)
+        elif use_socp_fused and socp_xl:
+            from .pallas_xl import socp_newton_step_xl_prepared
+            x_new, nd, _sigma, any_acc, dir_ok, _dx = (
+                socp_newton_step_xl_prepared(
+                    sconsts, tq_s, s.x, tP_s, sigmas, alpha=cfg.alpha,
+                    refine=cfg.pallas_refine, dir_tol=socp_dir_tol))
             nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
             j = _sigma_index(_sigma)
         elif use_socp_fused:

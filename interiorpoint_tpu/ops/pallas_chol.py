@@ -65,45 +65,79 @@ def _factor_diag_block(D):
     """Unblocked Cholesky of a (BLK, BLK) tile + inverse of its factor.
 
     Returns (L, Linv) with L lower-triangular, L @ L.T = D, Linv @ L = I.
-    128 sequential fori_loop steps of O(BLK^2) VPU work each.
+
+    This chain is the measured sequential floor of every fused step
+    kernel (scripts/tpu_latency_probe.py: ~85 us/block for the previous
+    form, = nb x 85 us per blocked factor, while all MXU block updates
+    are noise), so both halves are built for minimum DEPENDENT-op count
+    rather than minimum FLOPs:
+
+    * factor: 128 fori_loop pivots of ~8 chained VPU/MXU ops each —
+      masked column extract (Mosaic has no dynamic_slice on values),
+      rsqrt, scale, one full rank-1 MXU outer whose stale above-pivot
+      garbage is filtered by the trailing mask instead of pre-masking
+      the column (saves chain links).  The inverse recursion that used
+      to ride in this loop (+6 dependent ops per pivot) is gone.
+    * inverse: strictly-lower nilpotent doubling in LOG depth.  With
+      L = Lu·diag(d) (Lu unit lower), N = Lu − I satisfies N^128 = 0,
+      so Lu⁻¹ = Π_{k=0..6} (I + (−N)^(2^k)) — 12 MXU matmuls total
+      (~3 us) instead of a 128-step substitution chain.  The doubling
+      product amplifies f32 rounding ~100× over substitution on
+      ill-conditioned blocks, so ONE Newton polish W ← (2I − WL)W
+      (2 matmuls) squares the residual away — measured BETTER than the
+      substitution inverse across the κ=1e6..1e7 range (rate 0.13 vs
+      0.74 at κ=4e6).  As with the factor itself, f32 rounding here
+      only shapes PRECONDITIONER quality: every consumer wraps it in
+      dd refinement/PCG against the true operator.
+
+    A failed factor (non-PSD pivot) produces NaN via rsqrt of a
+    negative and propagates through both outputs, preserving
+    jnp.linalg.cholesky semantics for the callers' jitter ladders.
     """
     dt = D.dtype
     rows = lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
     cols = lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+    rcol = rows[:, :1]                                # (BLK, 1)
     eye = jnp.where(rows == cols, jnp.ones((), dt), jnp.zeros((), dt))
 
-    def step(j, carry):
-        # Mosaic has no dynamic_slice on values; extract row/column j with
-        # masked reductions instead (O(BLK^2) VPU work, same as the update).
-        A, Inv = carry
+    def step(j, A):
         is_jcol = cols == j                           # (BLK, BLK)
-        is_jrow = rows == j
-        pivot = jnp.sum(jnp.where(is_jcol & is_jrow, A, jnp.zeros((), dt)))
+        colj = jnp.sum(jnp.where(is_jcol, A, jnp.zeros((), dt)),
+                       axis=1, keepdims=True)         # (BLK, 1) = A[:, j]
+        pivot = jnp.sum(jnp.where(rcol == j, colj, jnp.zeros((), dt)))
         rpiv = lax.rsqrt(pivot)                       # NaN if pivot < 0
-        col = jnp.sum(jnp.where(is_jcol, A, jnp.zeros((), dt)),
-                      axis=1, keepdims=True)          # (BLK, 1) = A[:, j]
-        below = rows[:, :1] > j                       # (BLK, 1)
-        lcol = col * rpiv                             # L[:, j] for rows >= j
-        # write column j of L (diag sqrt(pivot), below scaled), zero above
-        newcol = jnp.where(rows[:, :1] == j, pivot * rpiv,
-                           jnp.where(below, lcol, jnp.zeros((), dt)))
-        A = jnp.where(is_jcol, newcol, A)
-        # rank-1 trailing update on rows>j, cols>j
-        upd = _dot(lcol * below, (lcol * below).T)
+        lcol = colj * rpiv                            # L[:, j] for rows >= j
+        # column j of L: diag sqrt(pivot) = pivot*rpiv at row j, scaled
+        # below, zero above (colj above the pivot holds stale symmetric
+        # trailing values — finite, so the unmasked outer is safe under
+        # the trailing mask)
+        lkeep = jnp.where(rcol >= j, lcol, jnp.zeros((), dt))
+        upd = _dot(lcol, lcol.T)                      # rank-1, MXU
         trail = (rows > j) & (cols > j)
-        A = A - jnp.where(trail, upd, jnp.zeros((), dt))
-        # forward substitution for the inverse:
-        #   Inv[j, :] = (e_j - L[j, :j] @ Inv[:j, :]) / L[j, j]
-        lrow = jnp.sum(jnp.where(is_jrow & (cols < j), A, jnp.zeros((), dt)),
-                       axis=0, keepdims=True)         # (1, BLK) = L[j, :j]
-        ej = jnp.where(cols[:1, :] == j, jnp.ones((), dt), jnp.zeros((), dt))
-        inv_row = (ej - _dot(lrow, Inv)) * rpiv
-        Inv = jnp.where(is_jrow, inv_row, Inv)
-        return A, Inv
+        return (jnp.where(is_jcol, lkeep, A)
+                - jnp.where(trail, upd, jnp.zeros((), dt)))
 
-    L, Linv = lax.fori_loop(0, BLK, step, (D, jnp.zeros_like(D)))
+    L = lax.fori_loop(0, BLK, step, D)
     L = jnp.where(rows >= cols, L, jnp.zeros((), dt))
-    return L, Linv
+
+    # ---- Linv by nilpotent doubling (log-depth, pure MXU) --------------
+    dcol = jnp.sum(L * eye, axis=1, keepdims=True)    # (BLK, 1) diag(L)
+    drow = jnp.sum(L * eye, axis=0, keepdims=True)    # (1, BLK)
+    Lu = L * (1.0 / drow)                             # unit lower (cols/d)
+    N = Lu - eye                                      # strictly lower
+    P = eye - N
+    T = _dot(N, N)                                    # N^2
+
+    def dbl(k, c):
+        P, T = c
+        P = P + _dot(P, T)
+        return P, _dot(T, T)
+
+    P, _ = lax.fori_loop(1, 7, dbl, (P, T))
+    # L⁻¹ = diag(d)⁻¹ · Lu⁻¹  (row scaling), then one Newton polish
+    W = P * (1.0 / dcol)
+    W = _dot(2.0 * eye - _dot(W, L), W)
+    return L, W
 
 
 def _chol_kernel(h_ref, l_ref, dinv_ref, *, nb: int):

@@ -806,11 +806,16 @@ def supported_streaming(k: int, r: int, has_P: bool) -> bool:
 
 
 def kernel_mode(k: int, r: int, has_P: bool):
-    """Preferred kernel regime for (k, r): 'resident', 'stream', or None."""
+    """Preferred kernel regime for (k, r): 'resident', 'stream', 'xl'
+    (the split pipeline of ops/pallas_xl.py for rp beyond the
+    mega-kernel envelope), or None (staged XLA path)."""
     if supported(k, r, has_P):
         return "resident"
     if supported_streaming(k, r, has_P):
         return "stream"
+    from .pallas_xl import xl_supported
+    if xl_supported(k, r, has_P):
+        return "xl"
     return None
 
 

@@ -135,7 +135,8 @@ class SOCPPDResult(NamedTuple):
 def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
                   lb=None, ub=None, max_iters=None,
                   kkt_kernel=None,
-                  exact_fallback=None) -> SOCPPDResult:
+                  exact_fallback=None,
+                  kkt_tols=None) -> SOCPPDResult:
     """Conic Mehrotra predictor-corrector solve (module docstring).
 
     Args:
@@ -154,6 +155,10 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
         ``exact_fb`` below), True/False forces it.  ``False`` on CPU
         reproduces the TPU production numerics for tests
         (round-3 VERDICT weak #5).
+      kkt_tols: optional (dir_tol, cg_tol, cg_rounds) override for the
+        fused-KKT direction solves (measurement/tuning hook; defaults
+        are the measured-best tight values — see the comment at
+        ``kkt_dir_tol`` below).
     """
     dtype = G.dtype
     K, M1, n = G.shape
@@ -194,6 +199,9 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
         # defaults (dir 1e-6, cg at the dd floor).
         kkt_dir_tol = 1e-6
         kkt_cg_tol = 1e-13
+        kkt_cg_rounds = 24
+        if kkt_tols is not None:
+            kkt_dir_tol, kkt_cg_tol, kkt_cg_rounds = kkt_tols
 
     ub_v = (jnp.full((n,), jnp.inf, dtype) if ub is None else ub)
     lb_v = (jnp.full((n,), -jnp.inf, dtype) if lb is None else lb)
@@ -352,7 +360,8 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
                 dx, dy, _, _ = kkt_dir_prepared(
                     Hhi, Hlo, kkt_consts, r1,
                     rpe if has_eq else None, interpret=kkt_interpret,
-                    dir_tol=kkt_dir_tol, cg_tol=kkt_cg_tol)
+                    dir_tol=kkt_dir_tol, cg_tol=kkt_cg_tol,
+                    rounds=kkt_cg_rounds)
             elif has_eq and exact_fb:
                 t1 = solve_h(r1)
                 dy = solve_s(F @ t1 + rpe)
