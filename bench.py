@@ -243,9 +243,24 @@ def roofline(suite, n, reps, dtype):
     tc = jnp.asarray(np.random.uniform(-1, 1, r))
     sig = jnp.asarray(0.6 ** np.arange(40))
 
-    def step(tc_, z_, tP_):
-        return pn.reduced_newton_step_prepared(
-            consts, tc_, z_, tP_, sig, alpha=0.2, stream=mode == "stream")
+    # production-config stall gate: the engine threads the ε-derived
+    # direction tolerance (ops/newton.py); measuring at the tight
+    # default instead makes the chain escalate to the 48-round dd-PCG
+    # on steps the real solve would accept (measured: SOCP 6.9 vs
+    # 3.3 ms/step)
+    dtol = pn.dir_stall_tol(1e-4 if suite == "lp" else 1e-8)
+    if mode == "xl":
+        from interiorpoint_tpu.ops.pallas_xl import \
+            reduced_newton_step_xl_prepared as _step_xl
+
+        def step(tc_, z_, tP_):
+            return _step_xl(consts, tc_, z_, tP_, sig, alpha=0.2,
+                            dir_tol=dtol)
+    else:
+        def step(tc_, z_, tP_):
+            return pn.reduced_newton_step_prepared(
+                consts, tc_, z_, tP_, sig, alpha=0.2,
+                stream=mode == "stream", dir_tol=dtol)
 
     # Chain `reps` DEPENDENT steps inside one jitted fori_loop: a
     # per-call timing would fold the host→device dispatch latency
@@ -400,9 +415,14 @@ def _roofline_socp(n, reps, dtype):
     rf = solver._reduced
     sprob = rf.prob
     K, M, r = sprob.A.shape
+    socp_mode = "resident"
     if not ps.supported(K, M, r, sprob.P is not None):
-        raise SystemExit(f"no fused SOCP kernel regime for K={K} M={M} "
-                         f"r={r}")
+        from interiorpoint_tpu.ops.pallas_xl import xl_socp_supported
+        if xl_socp_supported(K, M, r, sprob.P is not None):
+            socp_mode = "xl"
+        else:
+            raise SystemExit(f"no fused SOCP kernel regime for K={K} "
+                             f"M={M} r={r}")
     consts = ps.prep_socp_consts(sprob)
     z0 = rf.basis.N.T @ (jnp.asarray(x0) - rf.basis.x_p)
     t = jnp.asarray(10.0, solver.cfg.jnp_dtype)
@@ -411,10 +431,21 @@ def _roofline_socp(n, reps, dtype):
     tP = t * sprob.P if sprob.P is not None else None
     sig = jnp.asarray(0.6 ** np.arange(40))
 
-    def step(z):
-        xn, _, _, _, _, _ = ps.socp_newton_step_prepared(
-            consts, tq, z, tP, sig, alpha=0.2)
-        return xn
+    from interiorpoint_tpu.ops.pallas_newton import dir_stall_tol
+    dtol = dir_stall_tol(1e-4)           # the SOCP benchmark ε
+    if socp_mode == "xl":
+        from interiorpoint_tpu.ops.pallas_xl import \
+            socp_newton_step_xl_prepared as _socp_step_xl
+
+        def step(z):
+            xn, _, _, _, _, _ = _socp_step_xl(
+                consts, tq, z, tP, sig, alpha=0.2, dir_tol=dtol)
+            return xn
+    else:
+        def step(z):
+            xn, _, _, _, _, _ = ps.socp_newton_step_prepared(
+                consts, tq, z, tP, sig, alpha=0.2, dir_tol=dtol)
+            return xn
 
     dt = _chain_time(step, z0, reps)
     flops = (2.0 * (K * M) * r * r + 2.0 * K * r * r
@@ -422,7 +453,7 @@ def _roofline_socp(n, reps, dtype):
     if sprob.P is not None:
         flops += 2.0 * r * r * 6
     achieved = flops / dt
-    return dict(suite="socp", n=n, k=K * M, r=r, mode="resident",
+    return dict(suite="socp", n=n, k=K * M, r=r, mode=socp_mode,
                 step_ms=dt * 1e3, useful_gflop=flops / 1e9,
                 achieved_tflops=achieved / 1e12,
                 frac_f32_eff_peak=achieved / V5E_F32_EFF_PEAK,

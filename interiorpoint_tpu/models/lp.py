@@ -163,6 +163,12 @@ class LPSolver(BarrierDriver):
             from .reduced import reduce_lp
             self._setup_reduced(reduce_lp, _oracle_no_diag, _p1)
 
+    def _auto_algorithm(self) -> str:
+        """Measured on v5e (round-4 RTT-adjusted): the Mehrotra engine
+        beats the barrier at every LP benchmark shape (n=1000: 0.058 vs
+        0.079 s; n=5000: 0.21 vs 0.42 s)."""
+        return "pd" if self._pd_applicable() else "barrier"
+
     def _check_x0(self, x):
         """(reference: LPSolver.py:655-682)"""
         prob = self._prob

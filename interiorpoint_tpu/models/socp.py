@@ -267,6 +267,16 @@ class SOCPSolver(BarrierDriver):
         metrics.emit(self.last_metrics)
         return self.value
 
+    def _auto_algorithm(self) -> str:
+        """Measured on v5e (round-4 RTT-adjusted): the fused-kernel
+        barrier beats the conic Mehrotra engine at every SOCP benchmark
+        shape on this hardware (n=1000: 0.078 vs 0.35-0.40 s) — the
+        per-direction Schur-CG's serialized refined H-solves dominate
+        the pd iteration.  ``algorithm="pd"`` stays available
+        explicitly (it is the production-conic-solver algorithm family
+        and wins on iteration count, 10-30 vs 100+ Newton steps)."""
+        return "barrier"
+
     def _staged_heuristic(self) -> bool:
         # Stage very large problems so one barrier stage per dispatch stays
         # under runtime single-execution limits (models/base.py; the axon
