@@ -632,7 +632,13 @@ class BarrierDriver:
 
         res = _pd_core(pprob, z0, cfg, A=eq_pair[0], b=eq_pair[1])
         x_full = expand(res.z)
-        res, x_full = jax.device_get((res, x_full))
+        # evaluate the objective in the SAME fetch window: a separate
+        # float(obj(...)) afterwards is one more blocking dispatch
+        # (~24 ms tunnel roundtrip on this rig — comparable to a whole
+        # n=1000 solve)
+        val_dev = self._oracle_fn(self._prob).obj(
+            jnp.asarray(x_full, dtype=dtype))
+        res, x_full, val = jax.device_get((res, x_full, val_dev))
         if not finite_rows.all():
             # re-expand BOTH lam and s so the stored result stays
             # internally consistent: dropped (vacuous) rows carry λ = 0
@@ -644,8 +650,7 @@ class BarrierDriver:
             res = res._replace(lam=lam_full_order, s=s_full_order)
 
         self.xstar = np.asarray(x_full)
-        self.value = float(self._oracle_fn(self._prob).obj(
-            jnp.asarray(self.xstar, dtype=dtype)))
+        self.value = float(val)
         self.optimal = True
         gap = float(res.gap)
         self.optimality_gap = gap

@@ -149,6 +149,9 @@ def solve_qp(P, q=None, A=None, b=None, C=None, d=None, lb=None, ub=None,
     ub_vec = None if prob.ub is None else np.asarray(prob.ub)
     if x0 is None:
         x0 = synthesize_x0(lb_vec, ub_vec, n)
+    if algorithm == "auto":
+        # measured-fastest QP engine by size (QPSolver._auto_algorithm)
+        algorithm = "pd" if n >= 2000 else "barrier"
     if algorithm == "pd":
         from ..ops.pd import pd_solve
         from .reduced import full_space_pd_problem

@@ -96,9 +96,18 @@ def _normalize_socp_inputs(P, q, A, b, c, d, F, g, lb, ub):
 @partial(jax.jit, static_argnames=("cfg",))
 def _socp_pd_core(G, h, q, x0, cfg, P=None, F=None, g=None, lb=None,
                   ub=None):
-    """Single jitted entry for the conic Mehrotra solve (ops/socp_pd.py)."""
+    """Single jitted entry for the conic Mehrotra solve (ops/socp_pd.py).
+
+    Also returns the objective value so the driver fetches EVERYTHING
+    in one device_get: a separate objective dispatch costs a full
+    host-roundtrip (~24 ms on this rig's tunnel — comparable to the
+    whole n=1000 solve)."""
     from ..ops.socp_pd import socp_pd_solve
-    return socp_pd_solve(G, h, q, x0, cfg, P=P, F=F, g=g, lb=lb, ub=ub)
+    res = socp_pd_solve(G, h, q, x0, cfg, P=P, F=F, g=g, lb=lb, ub=ub)
+    val = q @ res.x
+    if P is not None:
+        val = val + 0.5 * res.x @ (P @ res.x)
+    return res, val
 
 
 class SOCPSolver(BarrierDriver):
@@ -204,14 +213,13 @@ class SOCPSolver(BarrierDriver):
         h = jnp.concatenate([prob.d[:, None], prob.b], axis=1)
         qv = (prob.q if prob.q is not None
               else jnp.zeros((self.n,), dtype))
-        res = _socp_pd_core(G, h, qv, jnp.asarray(x0, dtype), cfg,
-                            P=prob.P, F=prob.F, g=prob.g,
-                            lb=prob.lb, ub=prob.ub)
-        res = jax.device_get(res)
+        res, val = _socp_pd_core(G, h, qv, jnp.asarray(x0, dtype), cfg,
+                                 P=prob.P, F=prob.F, g=prob.g,
+                                 lb=prob.lb, ub=prob.ub)
+        res, val = jax.device_get((res, val))
 
         self.xstar = np.asarray(res.x)
-        self.value = float(self._oracle_fn(self._prob).obj(
-            jnp.asarray(self.xstar, dtype=dtype)))
+        self.value = float(val)
         self.optimal = True
         gap = float(res.gap)
         self.optimality_gap = gap
@@ -322,6 +330,10 @@ def solve_socp(A, b=None, c=None, d=None, P=None, q=None, F=None, g=None,
     ub_vec = None if prob.ub is None else np.asarray(prob.ub)
     if x0 is None:
         x0 = synthesize_x0(lb_vec, ub_vec, n)
+    if algorithm == "auto":
+        # measured-fastest engine for SOCP on TPU (models/socp.py
+        # SOCPSolver._auto_algorithm): the fused-kernel barrier
+        algorithm = "barrier"
     if algorithm == "pd":
         from ..ops.socp_pd import cone_operator, socp_pd_solve
 

@@ -583,7 +583,13 @@ def _refined_solve(precond_solve, dd_apply, Hs, dsc_r, gh, gl, refine,
         def cond(c):
             i, cxh, cxl, reh, rel, p, rz = c
             rn2c = jnp.sum(reh * reh)
-            return ((i < 48) & (rn2c > 1e-26 * bn2)
+            # polish only to the caller's exit grade (the refinement
+            # loop's exit_rel2), floored at the dd floor: an ε=1e-4
+            # escalation does not need 48 rounds to 1e-13 when the
+            # caller accepts 1e-5 (each round is a full dd pass over
+            # C); the KKT kernel pins exit_rel2 at the dd floor, so
+            # its Schur-grade H-solves are unchanged.
+            return ((i < 48) & (rn2c > max(exit_rel2, 1e-26) * bn2)
                     & jnp.isfinite(rn2c) & jnp.isfinite(rz))
 
         out = lax.while_loop(cond, body, (jnp.zeros((), jnp.int32),

@@ -51,23 +51,49 @@ from .pallas_newton import (
 )
 
 # XL factor cap: kernel C keeps W (rp²) + slab temporaries resident.
+# With a quadratic term, tP is kept HI-HALF ONLY in kernel C (f32): the
+# refined direction then solves the operator {CᵀWC + f32(tP)} whose
+# ~1e-8 relative distance from the exact Hessian is the same class as
+# the SOCP kernel's Gram(G32) approximation (ops/pallas_socp.py
+# precision contract) — the GRADIENT's tP·z term stays dd-exact,
+# computed in the XLA glue and fed in.  This halves the tP footprint
+# and lets has_P shapes reach the same rp ≤ 3072 cap (at a narrower
+# slab chunk).
 XL_MAX_RP = 3072
-XL_MAX_RP_P = 2048        # with a resident tP dd pair (QP)
+
+
+# Mosaic register-allocator spill slots in the refine/sweep kernel
+# scale like ~70 WORDS of ch*rp (measured by the chipless AOT compiler:
+# 133.7 MB of spill slots at ch=256, rp=1920 — 5x the hand-counted dd
+# temporaries).  The chunk is picked so resident blocks + spills fit
+# the 128 MB VMEM with margin.
+_XL_SPILL_WORDS = 72
+_XL_VMEM_BUDGET = 118 * 1024 * 1024
+
+
+def _xl_ch(rp: int, has_P: bool) -> int:
+    """Slab chunk for the xl kernels: largest power-of-two slab whose
+    projected spill footprint + resident blocks fits VMEM."""
+    resident = (1 + (1 if has_P else 0)) * rp * rp * 4
+    for ch in (512, 256, 128, 64, 32):
+        if resident + _XL_SPILL_WORDS * ch * rp * 4 <= _XL_VMEM_BUDGET:
+            return ch
+    return 32
 
 
 def xl_supported(k: int, r: int, has_P: bool) -> bool:
-    """Whether the split-pipeline regime covers (k, r) on v5e."""
+    """Whether the split-pipeline regime covers (k, r) on v5e (the
+    spill-aware model of _xl_ch; validated by the chipless AOT
+    compiler, scripts/tpu_xl_compile_check.py)."""
     rp = _pad(r)
-    ch = pick_ch(rp)
-    kp = _padk(k, ch)
-    if rp > (XL_MAX_RP_P if has_P else XL_MAX_RP):
+    ch = _xl_ch(rp, has_P)
+    kp = _padk(k, pick_ch(rp))
+    if rp > XL_MAX_RP:
         return False
-    # kernel A: H32 accumulator + double-buffered window + slab temps
-    words_a = rp * rp + 18 * ch * rp + 10 * kp
-    # kernel C: W resident [+ tP pair] + window + slab temps + vec/vdx
-    words_c = ((1 + (2 if has_P else 0)) * rp * rp
-               + 18 * ch * rp + 12 * kp)
-    return (max(words_a, words_c) * 4 <= 110 * 1024 * 1024
+    resident_c = (1 + (1 if has_P else 0)) * rp * rp
+    words_a = rp * rp + _XL_SPILL_WORDS * ch * rp + 12 * kp
+    words_c = resident_c + _XL_SPILL_WORDS * ch * rp + 12 * kp
+    return (max(words_a, words_c) * 4 <= _XL_VMEM_BUDGET
             and kp <= _STREAM_MAX_ROWS)
 
 
@@ -109,28 +135,40 @@ def _xl_grad_gram_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, zhi_ref,
     h32_ref[:] = H32
 
 
+def _pmatvec_hi(tPhi, xh, xl):
+    """(P x)ᵀ as a (1, rp) dd pair from the HI half of tP only: two MXU
+    row-dots (x's dd halves) two-summed.  The ~1e-8 relative error of
+    representing tP in f32 perturbs the refined OPERATOR (and the
+    line-search q2), not the gradient — same contract as the SOCP
+    kernel's Gram(G32) block (ops/pallas_socp.py docstring)."""
+    y1 = _dot(xh, tPhi)
+    y2 = _dot(xl, tPhi)
+    return dd.dd_add(y1, jnp.zeros_like(y1), y2, jnp.zeros_like(y2))
+
+
 def _xl_step_kernel(Chi_ref, Clo_ref, vec_ref, tchi_ref, tclo_ref,
-                    zhi_ref, zlo_ref, tPhi_ref, tPlo_ref, bgh_ref,
-                    bgl_ref, w_ref, dsc_ref, sig_ref,
+                    zhi_ref, zlo_ref, tPhi_ref, gph_ref, gpl_ref,
+                    bgh_ref, bgl_ref, w_ref, dsc_ref, sig_ref,
                     xnh_ref, xnl_ref, stats_ref,
                     *scratch, nck: int, refine: int, has_P: bool,
                     rp: int, alpha: float, stall_rel2: float, CH: int):
     """Stage C: dd-refined direction (W = L⁻¹ preconditioner from the
     XLA factor) + closed-form backtracking line search.  Mirrors the
     second half of pallas_newton._newton_step_kernel; per-row state
-    comes in via ``vec`` (stage A) and the final C·dx lands in the
-    ``vdx`` scratch side channel."""
+    comes in via ``vec`` (stage A), the final C·dx lands in the
+    ``vdx`` scratch side channel, and the gradient's dd-exact tP·z
+    term comes in via ``gph/gpl`` (computed in the XLA glue — tP lives
+    here hi-half only, see _pmatvec_hi)."""
     vdx_ref, bufh_ref, bufl_ref, sem_ref = scratch
     foreach_c = _make_foreach_stream(Chi_ref, Clo_ref, bufh_ref, bufl_ref,
                                      sem_ref, nck, CH)
     zhi, zlo = zhi_ref[:], zlo_ref[:]
-    tPhi, tPlo = tPhi_ref[:], tPlo_ref[:]
+    tPhi = tPhi_ref[:]
     dsc_r = dsc_ref[:]
 
     gh, gl = dd.dd_add(tchi_ref[:], tclo_ref[:], bgh_ref[:], bgl_ref[:])
     if has_P:
-        pzh, pzl = _dd_pmatvec_row(tPhi, tPlo, zhi, zlo)
-        gh, gl = dd.dd_add(gh, gl, pzh, pzl)
+        gh, gl = dd.dd_add(gh, gl, gph_ref[:], gpl_ref[:])
 
     def _precond_solve(rhs_row):
         return _w_solve(w_ref, rhs_row)
@@ -153,7 +191,7 @@ def _xl_step_kernel(Chi_ref, Clo_ref, vec_ref, tchi_ref, tclo_ref,
         zer = jnp.zeros((1, rp), jnp.float32)
         hxh, hxl = foreach_c(body, (zer, zer))
         if has_P:
-            pxh, pxl = _dd_pmatvec_row(tPhi, tPlo, xh, xl)
+            pxh, pxl = _pmatvec_hi(tPhi, xh, xl)
             hxh, hxl = dd.dd_add(hxh, hxl, pxh, pxl)
         return hxh, hxl
 
@@ -168,7 +206,7 @@ def _xl_step_kernel(Chi_ref, Clo_ref, vec_ref, tchi_ref, tclo_ref,
     gxh, gxl = dd.dd_reduce(gxh, gxl, axis=1)
     gdx32 = gxh[0, 0]
     if has_P:
-        pdh, pdl = _dd_pmatvec_row(tPhi, tPlo, xh, xl)
+        pdh, pdl = _pmatvec_hi(tPhi, xh, xl)
         qh, ql = dd.dd_mul(pdh, pdl, xh, xl)
         qh, _ = dd.dd_reduce(qh, ql, axis=1)
         q2 = 0.5 * qh[0, 0]
@@ -262,7 +300,7 @@ def reduced_newton_step_xl_prepared(consts: ReducedConsts, tc, z, tP,
     returns (x_new, nd, sigma, any_acc, dir_ok)."""
     k, r = consts.k, consts.r
     rp = _pad(r)
-    ch = pick_ch(rp)
+    ch = _xl_ch(rp, tP is not None)
     kp = consts.Chi.shape[0]
     nck = kp // ch
     f64 = tc.dtype
@@ -308,6 +346,11 @@ def reduced_newton_step_xl_prepared(consts: ReducedConsts, tc, z, tP,
 
         if tP is not None:
             H32 = H32 + tPhi
+            # gradient tP·z term, dd-exact, in XLA (the kernel keeps tP
+            # hi-half only — see _pmatvec_hi)
+            gph, gpl = _dd_pmatvec_row(tPhi, tPlo, zhi, zlo)
+        else:
+            gph = gpl = jnp.zeros((1, rp), jnp.float32)
         Hs, dsc = _equilibrate_xla(H32, r, rp)
         W = _factor_w_xla(Hs, rp)
 
@@ -319,7 +362,7 @@ def reduced_newton_step_xl_prepared(consts: ReducedConsts, tc, z, tP,
                 jax.ShapeDtypeStruct((1, 8), jnp.float32),
             ),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2
             + (pl.BlockSpec(memory_space=pltpu.SMEM),),
             scratch_shapes=[
@@ -331,8 +374,8 @@ def reduced_newton_step_xl_prepared(consts: ReducedConsts, tc, z, tP,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024),
             interpret=interpret,
-        )(consts.Chi, consts.Clo, vec, tchi, tclo, zhi, zlo, tPhi, tPlo,
-          bgh, bgl, W, dsc[None, :], sig32)
+        )(consts.Chi, consts.Clo, vec, tchi, tclo, zhi, zlo, tPhi,
+          gph, gpl, bgh, bgl, W, dsc[None, :], sig32)
 
     x_new = dd.join_f64(xnh, xnl)[0, :r].astype(f64)
     nd = (stats[0, 0].astype(f64) + stats[0, 1].astype(f64))
@@ -357,20 +400,21 @@ from .pallas_socp import KP, SOCPConsts  # noqa: E402
 
 
 def xl_socp_supported(K: int, M: int, r: int, has_P: bool) -> bool:
-    """Split-pipeline envelope for the stacked-cone step."""
+    """Split-pipeline envelope for the stacked-cone step (tP hi-half
+    only, as the LP/QP xl kernel — see the XL_MAX_RP comment)."""
     if K > KP:
         return False
     rp = _pad(r)
-    ch = pick_ch(rp)
-    kmp = _padk(K * M, ch)
-    if rp > (XL_MAX_RP_P if has_P else XL_MAX_RP):
+    ch = _xl_ch(rp, has_P)
+    kmp = _padk(K * M, pick_ch(rp))
+    if rp > XL_MAX_RP:
         return False
-    # kernel A: H32 + G accumulators + window + slab temps + vec
-    words_a = (rp * rp + 2 * KP * rp + 18 * ch * rp + 8 * kmp)
-    # kernel C: W [+ tP pair] + Gw32/chi + window + slabs + vec/vdx
-    words_c = ((1 + (2 if has_P else 0)) * rp * rp + 4 * KP * rp
-               + 18 * ch * rp + 10 * kmp)
-    return (max(words_a, words_c) * 4 <= 110 * 1024 * 1024
+    # spill-aware model (see _xl_ch) + the SOCP-specific residents
+    words_a = (rp * rp + 2 * KP * rp + _XL_SPILL_WORDS * ch * rp
+               + 10 * kmp)
+    words_c = ((1 + (1 if has_P else 0)) * rp * rp + 4 * KP * rp
+               + _XL_SPILL_WORDS * ch * rp + 10 * kmp)
+    return (max(words_a, words_c) * 4 <= _XL_VMEM_BUDGET
             and kmp <= _STREAM_MAX_ROWS)
 
 
@@ -480,7 +524,8 @@ def _xl_socp_gram_kernel(Ahi_ref, Alo_ref, bhi_ref, blo_ref, chi_ref,
 
 def _xl_socp_step_kernel(Ahi_ref, Alo_ref, chi_ref, clo_ref, vec_ref,
                          csc_ref, gw_ref, tqhi_ref, tqlo_ref, zhi_ref,
-                         zlo_ref, tPhi_ref, tPlo_ref, bgh_ref, bgl_ref,
+                         zlo_ref, tPhi_ref, gph_ref, gpl_ref,
+                         bgh_ref, bgl_ref,
                          w_ref, dsc_ref, sig_ref,
                          xnh_ref, xnl_ref, dxh_ref, dxl_ref, stats_ref,
                          *scratch, nck: int, refine: int, has_P: bool,
@@ -494,7 +539,7 @@ def _xl_socp_step_kernel(Ahi_ref, Alo_ref, chi_ref, clo_ref, vec_ref,
     foreach_a = _make_foreach_stream(Ahi_ref, Alo_ref, bufh_ref, bufl_ref,
                                      sem_ref, nck, CH)
     zhi, zlo = zhi_ref[:], zlo_ref[:]
-    tPhi, tPlo = tPhi_ref[:], tPlo_ref[:]
+    tPhi = tPhi_ref[:]
     dsc_r = dsc_ref[:]
     chi_m, clo_m = chi_ref[:], clo_ref[:]
     Gw32 = gw_ref[:]
@@ -505,8 +550,7 @@ def _xl_socp_step_kernel(Ahi_ref, Alo_ref, chi_ref, clo_ref, vec_ref,
 
     gh, gl = dd.dd_add(tqhi_ref[:], tqlo_ref[:], bgh_ref[:], bgl_ref[:])
     if has_P:
-        pzh, pzl = _dd_pmatvec_row(tPhi, tPlo, zhi, zlo)
-        gh, gl = dd.dd_add(gh, gl, pzh, pzl)
+        gh, gl = dd.dd_add(gh, gl, gph_ref[:], gpl_ref[:])
 
     def _precond_solve(rhs_row):
         return _w_solve(w_ref, rhs_row)
@@ -538,7 +582,7 @@ def _xl_socp_step_kernel(Ahi_ref, Alo_ref, chi_ref, clo_ref, vec_ref,
         gh_t, gl_t = dd.dd_reduce(ph2, pl3, axis=0)
         hxh, hxl = dd.dd_add(hxh, hxl, gh_t, gl_t)
         if has_P:
-            pxh, pxl = _dd_pmatvec_row(tPhi, tPlo, xh, xl)
+            pxh, pxl = _pmatvec_hi(tPhi, xh, xl)
             hxh, hxl = dd.dd_add(hxh, hxl, pxh, pxl)
         return hxh, hxl
 
@@ -551,7 +595,7 @@ def _xl_socp_step_kernel(Ahi_ref, Alo_ref, chi_ref, clo_ref, vec_ref,
     gxh, gxl = dd.dd_reduce(gxh, gxl, axis=1)
     gdx32 = gxh[0, 0]
     if has_P:
-        pdh, pdl = _dd_pmatvec_row(tPhi, tPlo, xh, xl)
+        pdh, pdl = _pmatvec_hi(tPhi, xh, xl)
         qh, ql = dd.dd_mul(pdh, pdl, xh, xl)
         qh, _ = dd.dd_reduce(qh, ql, axis=1)
         q2 = 0.5 * qh[0, 0]
@@ -632,7 +676,7 @@ def socp_newton_step_xl_prepared(consts: SOCPConsts, tq, z, tP, sigmas,
     returns (x_new, nd, sigma, any_acc, dir_ok, dx)."""
     r = consts.r
     rp = _pad(r)
-    ch = pick_ch(rp)
+    ch = _xl_ch(rp, tP is not None)
     kmp = consts.Ahi.shape[0]
     nck = kmp // ch
     km = consts.K * consts.M
@@ -683,6 +727,9 @@ def socp_newton_step_xl_prepared(consts: SOCPConsts, tq, z, tP, sigmas,
 
         if tP is not None:
             H32 = H32 + tPhi
+            gph, gpl = _dd_pmatvec_row(tPhi, tPlo, zhi, zlo)
+        else:
+            gph = gpl = jnp.zeros((1, rp), jnp.float32)
         Hs, dsc = _equilibrate_xla(H32, r, rp)
         W = _factor_w_xla(Hs, rp)
 
@@ -696,7 +743,7 @@ def socp_newton_step_xl_prepared(consts: SOCPConsts, tq, z, tP, sigmas,
                 jax.ShapeDtypeStruct((1, 8), jnp.float32),
             ),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 16,
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 17,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 4
             + (pl.BlockSpec(memory_space=pltpu.SMEM),),
             scratch_shapes=[
@@ -709,8 +756,8 @@ def socp_newton_step_xl_prepared(consts: SOCPConsts, tq, z, tP, sigmas,
                 vmem_limit_bytes=128 * 1024 * 1024),
             interpret=interpret,
         )(consts.Ahi, consts.Alo, consts.chi, consts.clo, vec, csc, Gw32,
-          tqhi, tqlo, zhi, zlo, tPhi, tPlo, bgh, bgl, W, dsc[None, :],
-          sig32)
+          tqhi, tqlo, zhi, zlo, tPhi, gph, gpl, bgh, bgl, W,
+          dsc[None, :], sig32)
 
     x_new = dd.join_f64(xnh, xnl)[0, :r].astype(f64)
     dx = dd.join_f64(dxh, dxl)[0, :r].astype(f64)
