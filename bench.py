@@ -249,7 +249,14 @@ def roofline(suite, n, reps, dtype):
     # on steps the real solve would accept (measured: SOCP 6.9 vs
     # 3.3 ms/step)
     dtol = pn.dir_stall_tol(1e-4 if suite == "lp" else 1e-8)
-    if mode == "xl":
+    if mode == "xla":
+        from interiorpoint_tpu.ops.xl_step import \
+            reduced_newton_step_xla as _step_xla
+
+        def step(tc_, z_, tP_):
+            return _step_xla(consts, tc_, z_, tP_, sig, alpha=0.2,
+                             dir_tol=dtol)
+    elif mode == "xl":
         from interiorpoint_tpu.ops.pallas_xl import \
             reduced_newton_step_xl_prepared as _step_xl
 
@@ -418,8 +425,11 @@ def _roofline_socp(n, reps, dtype):
     socp_mode = "resident"
     if not ps.supported(K, M, r, sprob.P is not None):
         from interiorpoint_tpu.ops.pallas_xl import xl_socp_supported
+        from interiorpoint_tpu.ops.xl_step import xla_socp_step_supported
         if xl_socp_supported(K, M, r, sprob.P is not None):
             socp_mode = "xl"
+        elif xla_socp_step_supported(K, M, r, sprob.P is not None):
+            socp_mode = "xla"
         else:
             raise SystemExit(f"no fused SOCP kernel regime for K={K} "
                              f"M={M} r={r}")
@@ -433,7 +443,14 @@ def _roofline_socp(n, reps, dtype):
 
     from interiorpoint_tpu.ops.pallas_newton import dir_stall_tol
     dtol = dir_stall_tol(1e-4)           # the SOCP benchmark ε
-    if socp_mode == "xl":
+    if socp_mode == "xla":
+        from interiorpoint_tpu.ops.xl_step import socp_newton_step_xla
+
+        def step(z):
+            xn, _, _, _, _, _ = socp_newton_step_xla(
+                consts, tq, z, tP, sig, alpha=0.2, dir_tol=dtol)
+            return xn
+    elif socp_mode == "xl":
         from interiorpoint_tpu.ops.pallas_xl import \
             socp_newton_step_xl_prepared as _socp_step_xl
 

@@ -389,10 +389,13 @@ class BarrierDriver:
                     and self.cfg.dtype == "float64"):
                 from ..ops.pallas_socp import supported as socp_sup
                 from ..ops.pallas_xl import xl_socp_supported
+                from ..ops.xl_step import xla_socp_step_supported
                 K_s, M_s, r_s = A_s.shape
                 has_P_s = getattr(prob, "P", None) is not None
                 if (socp_sup(K_s, M_s, r_s, has_P_s)
-                        or xl_socp_supported(K_s, M_s, r_s, has_P_s)):
+                        or xl_socp_supported(K_s, M_s, r_s, has_P_s)
+                        or xla_socp_step_supported(K_s, M_s, r_s,
+                                                   has_P_s)):
                     return False
         return self.n >= 2000
 

@@ -110,11 +110,11 @@ class QPSolver(BarrierDriver):
             self._setup_reduced(reduce_qp, _qp_oracle, _p1)
 
     def _auto_algorithm(self) -> str:
-        """Measured on v5e (round-4 RTT-adjusted): the barrier wins the
-        flagship n=1000 shape (0.053 s, ε=1e-8) while the Mehrotra
-        engine wins large n (n=5000: 1.3 vs ~2.3 s)."""
-        if self.n >= 2000 and self._pd_applicable():
-            return "pd"
+        """Measured on v5e (round-4 RTT-adjusted): the barrier wins
+        every QP benchmark shape at the reference ε=1e-8 — n=1000:
+        0.054 vs 0.105 s; n=5000: 0.92 vs 1.24 s (the round-4d log;
+        the lean factor + one-fetch driver flipped the n=5000 ordering
+        that round 3 measured)."""
         return "barrier"
 
     def _check_x0(self, x):
@@ -150,8 +150,8 @@ def solve_qp(P, q=None, A=None, b=None, C=None, d=None, lb=None, ub=None,
     if x0 is None:
         x0 = synthesize_x0(lb_vec, ub_vec, n)
     if algorithm == "auto":
-        # measured-fastest QP engine by size (QPSolver._auto_algorithm)
-        algorithm = "pd" if n >= 2000 else "barrier"
+        # measured-fastest QP engine (QPSolver._auto_algorithm)
+        algorithm = "barrier"
     if algorithm == "pd":
         from ..ops.pd import pd_solve
         from .reduced import full_space_pd_problem

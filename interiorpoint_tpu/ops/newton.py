@@ -185,7 +185,7 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
     # one kernel per Newton step (ops/pallas_socp.py) replaces the XLA
     # dd cone contractions + emulated-f64 Hessian + mixed factor/solve.
     use_socp_fused = False
-    socp_xl = False
+    socp_mode = "resident"
     if (not use_fused and not phase1_flag and oracle.socp_form is not None
             and cfg.use_pallas and cfg.mixed_precision
             and cfg.kkt_strategy == "cholesky" and not oracle.diag_hessian
@@ -199,10 +199,14 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
             use_socp_fused = True
         else:
             from .pallas_xl import xl_socp_supported
+            from .xl_step import xla_socp_step_supported
             if xl_socp_supported(K_s, M_s, r_s, has_P_s) \
                     and cfg.allow_stream:
                 use_socp_fused = True
-                socp_xl = True
+                socp_mode = "xl"
+            elif xla_socp_step_supported(K_s, M_s, r_s, has_P_s):
+                use_socp_fused = True
+                socp_mode = "xla"
         if use_socp_fused:
             sconsts = pallas_socp.prep_socp_consts(sprob)
             tq_s = (t * sprob.q if sprob.q is not None
@@ -250,6 +254,16 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
                     refine=cfg.pallas_refine, dir_tol=fused_dir_tol))
             nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
             j = _sigma_index(_sigma)
+        elif use_fused and mode == "xla":
+            # Pure-XLA step (ops/xl_step.py): the fused kernel's
+            # algorithm without Mosaic — the throughput-bound regime.
+            from . import xl_step
+            x_new, nd, _sigma, any_acc, dir_ok = (
+                xl_step.reduced_newton_step_xla(
+                    consts, tc, s.x, tP, sigmas, alpha=cfg.alpha,
+                    refine=cfg.pallas_refine, dir_tol=fused_dir_tol))
+            nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
+            j = _sigma_index(_sigma)
         elif use_fused:
             # One kernel = direction + line search (ops/pallas_newton.py);
             # the f64 candidate sweep disappears from the critical path.
@@ -263,10 +277,18 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
             # when the direction residual is small.
             nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
             j = _sigma_index(_sigma)
-        elif use_socp_fused and socp_xl:
+        elif use_socp_fused and socp_mode == "xl":
             from .pallas_xl import socp_newton_step_xl_prepared
             x_new, nd, _sigma, any_acc, dir_ok, _dx = (
                 socp_newton_step_xl_prepared(
+                    sconsts, tq_s, s.x, tP_s, sigmas, alpha=cfg.alpha,
+                    refine=cfg.pallas_refine, dir_tol=socp_dir_tol))
+            nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
+            j = _sigma_index(_sigma)
+        elif use_socp_fused and socp_mode == "xla":
+            from .xl_step import socp_newton_step_xla
+            x_new, nd, _sigma, any_acc, dir_ok, _dx = (
+                socp_newton_step_xla(
                     sconsts, tq_s, s.x, tP_s, sigmas, alpha=cfg.alpha,
                     refine=cfg.pallas_refine, dir_tol=socp_dir_tol))
             nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))

@@ -1,6 +1,5 @@
 """algorithm="auto": per-class engine routing from the round-4 v5e
-measurements (LP -> Mehrotra pd; QP -> barrier below n=2000, pd above;
-SOCP -> barrier).  The explicit "barrier"/"pd" selections stay
+measurements (LP -> Mehrotra pd; QP -> barrier; SOCP -> barrier).  The explicit "barrier"/"pd" selections stay
 untouched — auto exists so the measured-fastest engine is one keyword
 away (round-3 VERDICT item 5)."""
 
@@ -46,7 +45,7 @@ def test_qp_auto_routes_by_size():
                  d=C @ xf + 0.5, lower_bound=-3, upper_bound=3,
                  suppress_print=True, check_cvxpy=False, epsilon=1e-8,
                  t0=0.01, algorithm="auto")
-    assert q._auto_algorithm() == "barrier"     # below the n=2000 cut
+    assert q._auto_algorithm() == "barrier"
     q.solve()
     assert q.optimal
 
