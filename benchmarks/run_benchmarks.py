@@ -219,21 +219,21 @@ def main():
     p.add_argument("--no-oracle", action="store_true")
     args = p.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
-    # one suite's failure must not cost the others their CSVs
-    runners = [("lp", lambda: test_LP(args.dims, N=args.reps,
-                                      outdir=args.outdir,
-                                      check_oracle=not args.no_oracle)),
-               ("qp", lambda: test_QP(args.dims, N=args.reps,
-                                      outdir=args.outdir)),
-               ("socp", lambda: test_SOCP(args.dims, N=args.reps,
-                                          outdir=args.outdir)),
-               ("lasso", lambda: test_LASSO(args.dims, N=args.reps,
-                                            outdir=args.outdir))]
-    for name, run in runners:
-        if name not in args.suite:
-            continue
+    # one suite's failure must not cost the others their CSVs; suites
+    # run in the CLI order (cheapest-first lets a time-boxed sweep keep
+    # the most artifacts)
+    runners = {"lp": lambda: test_LP(args.dims, N=args.reps,
+                                     outdir=args.outdir,
+                                     check_oracle=not args.no_oracle),
+               "qp": lambda: test_QP(args.dims, N=args.reps,
+                                     outdir=args.outdir),
+               "socp": lambda: test_SOCP(args.dims, N=args.reps,
+                                         outdir=args.outdir),
+               "lasso": lambda: test_LASSO(args.dims, N=args.reps,
+                                           outdir=args.outdir)}
+    for name in args.suite:
         try:
-            run()
+            runners[name]()
         except Exception as e:
             print(f"suite {name} FAILED: {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)
