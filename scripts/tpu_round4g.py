@@ -27,7 +27,16 @@ import bench  # noqa: E402
 def main():
     print("devices:", jax.devices(), flush=True)
     t0 = time.time()
-    np.asarray(jnp.ones(8) * 2.0)
+    # first d2h after another process releases the tunnel can throw a
+    # transient FAILED_PRECONDITION — retry with backoff
+    for attempt in range(6):
+        try:
+            np.asarray(jnp.ones(8) * 2.0)
+            break
+        except Exception as e:
+            print(f"d2h warm attempt {attempt} failed: "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+            time.sleep(60)
     print(f"d2h warm: {time.time()-t0:.1f}s", flush=True)
     print(f"# RTT: {bench.tunnel_rtt()*1e3:.2f} ms", flush=True)
 
