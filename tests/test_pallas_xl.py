@@ -116,9 +116,10 @@ def test_xl_envelope(monkeypatch):
     assert kernel_mode(22000, 2000, False) == "xl"
     # SOCP n=3000-class factor size (the LP/QP envelope check)
     assert xl_supported(12000, 2850, False)
-    # beyond the xl cap
+    # beyond the xl cap: the pure-XLA step regime (ops/xl_step.py)
+    # picks these shapes up now
     assert not xl_supported(12000, 3200, False)
-    assert kernel_mode(12000, 3200, False) is None
+    assert kernel_mode(12000, 3200, False) == "xla"
     # QP keeps tP hi-half-only resident: same rp cap as LP
     assert xl_supported(18000, 2000, True)
     assert xl_supported(18000, 2500, True)
