@@ -70,15 +70,20 @@ def tunnel_rtt():
 
 
 def _timed_reps(solve_fn, reps):
-    """Steady-state solve timing, tunnel-RTT-corrected (see tunnel_rtt)."""
+    """Steady-state solve timing, tunnel-RTT-corrected (see tunnel_rtt).
+
+    Returns (mean_adjusted_s, adjusted_times, raw_times): raw wall-clock
+    per rep is recorded alongside the correction so the audit trail
+    needs no arithmetic (round-4 VERDICT weak #6)."""
     solve_fn()  # warmup/compile
     rtt = tunnel_rtt()
-    times = []
+    raw = []
     for _ in range(reps):
         t0 = time.time()
         solve_fn()
-        times.append(max(time.time() - t0 - rtt, 1e-9))
-    return float(np.mean(times)), times
+        raw.append(time.time() - t0)
+    times = [max(t - rtt, 1e-9) for t in raw]
+    return float(np.mean(times)), times, raw
 
 
 def bench_lp(n, reps, dtype, algorithm="barrier"):
@@ -97,14 +102,14 @@ def bench_lp(n, reps, dtype, algorithm="barrier"):
         suppress_print=True, check_cvxpy=False, epsilon=1e-4, mu=15, t0=1,
         max_inner_iters=20, max_outer_iters=10, beta=0.5, alpha=0.05,
         dtype=dtype, algorithm=algorithm)
-    mean_s, times = _timed_reps(solver.solve, reps)
+    mean_s, times, raw = _timed_reps(solver.solve, reps)
     val = solver.value
     note = ""
     if n <= 2000:
         ref = linprog(c, A_ub=C, b_ub=d, A_eq=A, b_eq=b,
                       bounds=[(-3, 3)] * n, method="highs")
         note = f"rel err vs HiGHS {abs(val - ref.fun) / abs(ref.fun):.2e}"
-    return mean_s, times, val, note
+    return mean_s, times, val, note, raw
 
 
 def bench_qp(n, reps, dtype, algorithm="barrier"):
@@ -123,8 +128,8 @@ def bench_qp(n, reps, dtype, algorithm="barrier"):
         upper_bound=3, suppress_print=True, check_cvxpy=False,
         epsilon=1e-8, mu=15, t0=0.01, max_inner_iters=100,
         max_outer_iters=10, beta=0.6, dtype=dtype, algorithm=algorithm)
-    mean_s, times = _timed_reps(solver.solve, reps)
-    return mean_s, times, solver.value, ""
+    mean_s, times, raw = _timed_reps(solver.solve, reps)
+    return mean_s, times, solver.value, "", raw
 
 
 def bench_socp(n, reps, dtype, algorithm="barrier"):
@@ -138,8 +143,8 @@ def bench_socp(n, reps, dtype, algorithm="barrier"):
         **p, suppress_print=True, check_cvxpy=False, epsilon=1e-4, mu=15,
         t0="auto", max_inner_iters=500, max_outer_iters=20, beta=0.5,
         alpha=0.05, x0=x0, dtype=dtype, algorithm=algorithm)
-    mean_s, times = _timed_reps(solver.solve, reps)
-    return mean_s, times, solver.value, ""
+    mean_s, times, raw = _timed_reps(solver.solve, reps)
+    return mean_s, times, solver.value, "", raw
 
 
 def bench_lasso(n, reps, dtype):
@@ -152,8 +157,8 @@ def bench_lasso(n, reps, dtype):
         p["A"], p["b"], reg=p["reg"], rho=0.4, max_iters=5000,
         check_stop=10, add_bias=True, eps_rel=1e-6, eps_abs=1e-6,
         check_cvxpy=False, dtype=dtype)
-    mean_s, times = _timed_reps(solver.solve, reps)
-    return mean_s, times, float(np.mean(solver.solutions)), ""
+    mean_s, times, raw = _timed_reps(solver.solve, reps)
+    return mean_s, times, float(np.mean(solver.solutions)), "", raw
 
 
 # TPU v5e per-chip MXU peak: 197 TFLOP/s at bf16.  The fused kernel's
@@ -256,13 +261,6 @@ def roofline(suite, n, reps, dtype):
         def step(tc_, z_, tP_):
             return _step_xla(consts, tc_, z_, tP_, sig, alpha=0.2,
                              dir_tol=dtol)
-    elif mode == "xl":
-        from interiorpoint_tpu.ops.pallas_xl import \
-            reduced_newton_step_xl_prepared as _step_xl
-
-        def step(tc_, z_, tP_):
-            return _step_xl(consts, tc_, z_, tP_, sig, alpha=0.2,
-                            dir_tol=dtol)
     else:
         def step(tc_, z_, tP_):
             return pn.reduced_newton_step_prepared(
@@ -424,11 +422,8 @@ def _roofline_socp(n, reps, dtype):
     K, M, r = sprob.A.shape
     socp_mode = "resident"
     if not ps.supported(K, M, r, sprob.P is not None):
-        from interiorpoint_tpu.ops.pallas_xl import xl_socp_supported
         from interiorpoint_tpu.ops.xl_step import xla_socp_step_supported
-        if xl_socp_supported(K, M, r, sprob.P is not None):
-            socp_mode = "xl"
-        elif xla_socp_step_supported(K, M, r, sprob.P is not None):
+        if xla_socp_step_supported(K, M, r, sprob.P is not None):
             socp_mode = "xla"
         else:
             raise SystemExit(f"no fused SOCP kernel regime for K={K} "
@@ -448,14 +443,6 @@ def _roofline_socp(n, reps, dtype):
 
         def step(z):
             xn, _, _, _, _, _ = socp_newton_step_xla(
-                consts, tq, z, tP, sig, alpha=0.2, dir_tol=dtol)
-            return xn
-    elif socp_mode == "xl":
-        from interiorpoint_tpu.ops.pallas_xl import \
-            socp_newton_step_xl_prepared as _socp_step_xl
-
-        def step(z):
-            xn, _, _, _, _, _ = _socp_step_xl(
                 consts, tq, z, tP, sig, alpha=0.2, dir_tol=dtol)
             return xn
     else:
@@ -544,13 +531,17 @@ def main():
                    help="measure fused-kernel FLOP/s vs v5e peak instead "
                         "of end-to-end solve time")
     p.add_argument("--algorithm", type=str, default="barrier",
-                   choices=["barrier", "pd"],
+                   choices=["barrier", "pd", "auto"],
                    help="pd = primal-dual Mehrotra predictor-corrector "
                         "(LP/QP/SOCP; new capability beyond the "
-                        "reference's barrier method)")
+                        "reference's barrier method); auto = the "
+                        "measured-fastest engine per class (the routed "
+                        "production surface)")
     args = p.parse_args()
-    if args.algorithm == "pd" and args.suite not in ("lp", "qp", "socp"):
-        sys.exit("--algorithm pd supports lp/qp/socp suites only")
+    if args.algorithm != "barrier" and args.suite not in ("lp", "qp",
+                                                          "socp"):
+        sys.exit(f"--algorithm {args.algorithm} supports lp/qp/socp "
+                 "suites only")
 
     import jax
     if args.dtype == "float64":
@@ -591,16 +582,18 @@ def main():
                      "(pass --roofline)")
         kw = ({"algorithm": args.algorithm}
               if args.suite in ("lp", "qp", "socp") else {})
-        mean_s, times, val, note = fns[args.suite](args.n, args.reps,
-                                                   args.dtype, **kw)
+        mean_s, times, val, note, raw = fns[args.suite](
+            args.n, args.reps, args.dtype, **kw)
         print(f"# {args.suite} n={args.n}: objective {val:.8f} {note}; "
-              f"times {['%.3f' % t for t in times]}", file=sys.stderr)
+              f"times {['%.3f' % t for t in times]} "
+              f"raw {['%.3f' % t for t in raw]}", file=sys.stderr)
         baseline = BASELINES[args.suite].get(args.n)
-        suffix = "_pd" if args.algorithm == "pd" else ""
+        suffix = "" if args.algorithm == "barrier" else f"_{args.algorithm}"
         print(json.dumps({
             "metric": f"{args.suite}_n{args.n}{suffix}_solve_seconds",
             "value": round(mean_s, 4),
             "unit": "s",
+            "raw_seconds": round(float(np.mean(raw)), 4),
             "vs_baseline": (round(baseline / mean_s, 3)
                             if baseline else None),
             "rtt_ms": round(tunnel_rtt() * 1e3, 2),
@@ -615,8 +608,8 @@ def main():
     speedups = []
     for name in ("lp", "qp", "socp", "lasso"):
         try:
-            mean_s, times, val, note = fns[name](args.n, args.reps,
-                                                 args.dtype)
+            mean_s, times, val, note, raw = fns[name](args.n, args.reps,
+                                                      args.dtype)
         except Exception as e:                      # record, keep going
             print(f"# {name} n={args.n} FAILED: {e!r}", file=sys.stderr)
             rows[name] = {"error": str(e)[:200]}
@@ -624,6 +617,7 @@ def main():
         baseline = BASELINES[name].get(args.n)
         speedup = (baseline / mean_s) if baseline else None
         rows[name] = {"seconds": round(mean_s, 4),
+                      "raw_seconds": round(float(np.mean(raw)), 4),
                       "objective": round(float(val), 6),
                       "t4_baseline_s": baseline,
                       "speedup_vs_t4": (round(speedup, 3)
@@ -631,7 +625,8 @@ def main():
         if speedup:
             speedups.append(speedup)
         print(f"# {name} n={args.n}: {mean_s:.4f}s "
-              f"({speedup:.1f}x vs T4) obj={val:.6f} {note}",
+              f"(raw {np.mean(raw):.4f}s, {speedup:.1f}x vs T4) "
+              f"obj={val:.6f} {note}",
               file=sys.stderr)
     geomean = (float(np.exp(np.mean(np.log(speedups))))
                if speedups else None)
@@ -642,20 +637,28 @@ def main():
     # socp-pd crash was invisible to the all-suite bench) — plus the
     # lp-pd large-n showcase at the reference's largest benchmark shape.
     if args.n == 1000:
-        pd_rows = [("qp1000_pd", bench_qp, 1000, 2, "qp"),
-                   ("socp1000_pd", bench_socp, 1000, 2, "socp"),
-                   ("lp5000_pd", bench_lp, 5000, 2, "lp")]
-        for key, fn, npd, rpd, bkey in pd_rows:
+        # lp1000_auto: the routed production surface (algorithm="auto";
+        # LP routes to the Mehrotra engine — round-4 VERDICT weak #7:
+        # the record must measure what the marketed routing delivers,
+        # not only the barrier parity surface).  qp/socp auto routes to
+        # barrier = the main rows above, so lp is the only distinct
+        # auto measurement at n=1000.
+        extra_rows = [("lp1000_auto", bench_lp, 1000, 2, "lp", "auto"),
+                      ("qp1000_pd", bench_qp, 1000, 2, "qp", "pd"),
+                      ("socp1000_pd", bench_socp, 1000, 2, "socp", "pd"),
+                      ("lp5000_pd", bench_lp, 5000, 2, "lp", "pd")]
+        for key, fn, npd, rpd, bkey, algo in extra_rows:
             try:
-                mean_s, _, val, _ = fn(npd, rpd, args.dtype,
-                                       algorithm="pd")
+                mean_s, _, val, _, raw = fn(npd, rpd, args.dtype,
+                                            algorithm=algo)
                 bl = BASELINES[bkey].get(npd)
                 rows[key] = {"seconds": round(mean_s, 4),
+                             "raw_seconds": round(float(np.mean(raw)), 4),
                              "objective": round(float(val), 6),
                              "t4_baseline_s": bl,
                              "speedup_vs_t4": (round(bl / mean_s, 3)
                                                if bl else None)}
-                print(f"# {key}: {mean_s:.4f}s"
+                print(f"# {key}: {mean_s:.4f}s (raw {np.mean(raw):.4f}s)"
                       + (f" ({bl / mean_s:.1f}x vs T4)" if bl else ""),
                       file=sys.stderr)
             except Exception as e:

@@ -74,6 +74,13 @@ def _ls_interior_init(prob):
     return z, jnp.min(d - C @ z)
 
 
+@partial(jax.jit, static_argnames=("oracle_fn",))
+def _obj_only(prob, x, oracle_fn):
+    """Objective value alone, jitted so the oracle's curvature caches and
+    operand splits are traced-then-DCE'd instead of materialized."""
+    return oracle_fn(prob).obj(x)
+
+
 @partial(jax.jit, static_argnames=("cfg", "oracle_fn", "p1_oracle_fn",
                                    "num_constraints", "eq_gate"))
 def _barrier_core(prob, A, b, x0, t0, cfg, oracle_fn, p1_oracle_fn,
@@ -388,12 +395,10 @@ class BarrierDriver:
                     and self.cfg.kkt_strategy == "cholesky"
                     and self.cfg.dtype == "float64"):
                 from ..ops.pallas_socp import supported as socp_sup
-                from ..ops.pallas_xl import xl_socp_supported
                 from ..ops.xl_step import xla_socp_step_supported
                 K_s, M_s, r_s = A_s.shape
                 has_P_s = getattr(prob, "P", None) is not None
                 if (socp_sup(K_s, M_s, r_s, has_P_s)
-                        or xl_socp_supported(K_s, M_s, r_s, has_P_s)
                         or xla_socp_step_supported(K_s, M_s, r_s,
                                                    has_P_s)):
                     return False
@@ -424,8 +429,16 @@ class BarrierDriver:
         if t0 is None:
             if self._t0_auto:
                 if self._t0_auto_value is None:
-                    obj0 = float(self._oracle_fn(self._prob).obj(
-                        jnp.asarray(self.x, dtype=self.cfg.jnp_dtype)))
+                    # Evaluate f(x0) through jit: building the oracle
+                    # EAGERLY materializes its curvature caches and
+                    # double-float splits on device (~2.7 GiB at SOCP
+                    # n=5000, round5a probe) just to read one scalar;
+                    # under jit everything the objective doesn't touch
+                    # is dead code and never allocated.
+                    obj0 = float(_obj_only(self._prob,
+                                           jnp.asarray(self.x,
+                                                       self.cfg.jnp_dtype),
+                                           self._oracle_fn))
                     self._t0_auto_value = (
                         max(self.num_constraints, 1) / max(abs(obj0), 1.0))
                 t0 = self._t0_auto_value
@@ -639,8 +652,8 @@ class BarrierDriver:
         # float(obj(...)) afterwards is one more blocking dispatch
         # (~24 ms tunnel roundtrip on this rig — comparable to a whole
         # n=1000 solve)
-        val_dev = self._oracle_fn(self._prob).obj(
-            jnp.asarray(x_full, dtype=dtype))
+        val_dev = _obj_only(self._prob, jnp.asarray(x_full, dtype=dtype),
+                            self._oracle_fn)
         res, x_full, val = jax.device_get((res, x_full, val_dev))
         if not finite_rows.all():
             # re-expand BOTH lam and s so the stored result stays

@@ -198,13 +198,8 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
         if pallas_socp.supported(K_s, M_s, r_s, has_P_s):
             use_socp_fused = True
         else:
-            from .pallas_xl import xl_socp_supported
             from .xl_step import xla_socp_step_supported
-            if xl_socp_supported(K_s, M_s, r_s, has_P_s) \
-                    and cfg.allow_stream:
-                use_socp_fused = True
-                socp_mode = "xl"
-            elif xla_socp_step_supported(K_s, M_s, r_s, has_P_s):
+            if xla_socp_step_supported(K_s, M_s, r_s, has_P_s):
                 use_socp_fused = True
                 socp_mode = "xla"
         if use_socp_fused:
@@ -243,18 +238,7 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
         return jnp.argmin(jnp.abs(sigmas - sigma.astype(dtype)))
 
     def body(s: S):
-        if use_fused and mode == "xl":
-            # Split pipeline: Pallas Gram/gradient pass + XLA factor +
-            # Pallas refine/line-search (ops/pallas_xl.py) — rp beyond
-            # the mega-kernel's VMEM envelope.
-            from . import pallas_xl
-            x_new, nd, _sigma, any_acc, dir_ok = (
-                pallas_xl.reduced_newton_step_xl_prepared(
-                    consts, tc, s.x, tP, sigmas, alpha=cfg.alpha,
-                    refine=cfg.pallas_refine, dir_tol=fused_dir_tol))
-            nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
-            j = _sigma_index(_sigma)
-        elif use_fused and mode == "xla":
+        if use_fused and mode == "xla":
             # Pure-XLA step (ops/xl_step.py): the fused kernel's
             # algorithm without Mosaic — the throughput-bound regime.
             from . import xl_step
@@ -275,14 +259,6 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
             # An inaccurate direction (ill-conditioned stall) makes the
             # decrement read small prematurely; only trust convergence
             # when the direction residual is small.
-            nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
-            j = _sigma_index(_sigma)
-        elif use_socp_fused and socp_mode == "xl":
-            from .pallas_xl import socp_newton_step_xl_prepared
-            x_new, nd, _sigma, any_acc, dir_ok, _dx = (
-                socp_newton_step_xl_prepared(
-                    sconsts, tq_s, s.x, tP_s, sigmas, alpha=cfg.alpha,
-                    refine=cfg.pallas_refine, dir_tol=socp_dir_tol))
             nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
             j = _sigma_index(_sigma)
         elif use_socp_fused and socp_mode == "xla":

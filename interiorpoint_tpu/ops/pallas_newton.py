@@ -813,17 +813,12 @@ def supported_streaming(k: int, r: int, has_P: bool) -> bool:
 
 def kernel_mode(k: int, r: int, has_P: bool):
     """Preferred step regime for (k, r): 'resident'/'stream' (the
-    fused mega-kernel), 'xl' (the Pallas split pipeline of
-    ops/pallas_xl.py — opt-in, see pallas_xl.XL_ENABLED), 'xla' (the
-    pure-XLA step of ops/xl_step.py for rp beyond the Mosaic
-    envelopes), or None."""
+    fused mega-kernel) or 'xla' (the pure-XLA step of ops/xl_step.py
+    for rp beyond the Mosaic envelopes), or None."""
     if supported(k, r, has_P):
         return "resident"
     if supported_streaming(k, r, has_P):
         return "stream"
-    from .pallas_xl import xl_supported
-    if xl_supported(k, r, has_P):
-        return "xl"
     from .xl_step import xla_step_supported
     if xla_step_supported(k, r, has_P):
         return "xla"

@@ -1,12 +1,15 @@
 """Pure-XLA Newton step for shapes beyond the fused-kernel envelopes
 (rp > 1536): the mega-kernel's ALGORITHM without any Mosaic kernel.
 
-Why not Pallas here: the split-pipeline xl kernels (ops/pallas_xl.py)
-pass interpret-mode parity, but the v5e Mosaic compile of the
-refine/sweep kernel crashes the remote compile helper at exactly these
-shapes (round-4: benchmarks/results/xl_compile_check.log — the
-gram/gradient kernel compiles in 14 s, the refine/sweep kernel dies
-after up to an hour).  At rp ≥ 1664 every pass is throughput-bound
+Why not Pallas here: a round-4 split-pipeline Pallas variant (Gram
+pass + XLA factor + refine/sweep pass) passed interpret-mode parity,
+but the v5e Mosaic compile of its refine/sweep kernel crashed the
+remote compile helper at exactly these shapes (round-4:
+benchmarks/results/xl_compile_check.log — the gram/gradient kernel
+compiled in 14 s, the refine/sweep kernel died after up to an hour of
+register-spill grinding).  It was deleted in round 5 (git history:
+ops/pallas_xl.py) because this pure-XLA step made it redundant at
+every shape it targeted.  At rp ≥ 1664 every pass is throughput-bound
 (100s of µs of MXU/HBM work), so XLA's ~µs-scale op overheads — the
 reason the small-shape mega-kernels exist — are noise, and XLA's own
 tiling handles the (k, rp) operands that break Mosaic's register
@@ -21,7 +24,7 @@ these shapes:
   reductions, so no (k, rp) dd temporaries materialize);
 * f32 HIGHEST Gram on the MXU, Jacobi equilibration, jitter-laddered
   f32 XLA cholesky + full triangular inverse W = L⁻¹ as
-  PRECONDITIONER ONLY (pallas_xl._factor_w_xla);
+  PRECONDITIONER ONLY (_factor_w_xla below);
 * the shared dd refinement + ε-gated dd-PCG escalation
   (pallas_newton._refined_solve — pure jnp, runs under XLA unchanged);
 * the closed-form cancellation-free line-search sweep in f32
@@ -39,9 +42,49 @@ from jax import lax
 from . import dd
 from .pallas_newton import (_dd_recip, _phi_stable, _refined_solve,
                             ReducedConsts, _pad, _pad2)
-from .pallas_xl import _equilibrate_xla, _factor_w_xla
 
 _HI = jax.lax.Precision.HIGHEST
+
+
+def _equilibrate_xla(H32, r: int, rp: int):
+    """XLA mirror of pallas_newton._equilibrate (identity on padded
+    columns + Jacobi scaling).  f32 in, f32 out."""
+    idx = jnp.arange(rp)
+    pad = (idx >= r).astype(jnp.float32)
+    H32 = H32 + jnp.diag(pad)
+    dg = jnp.diagonal(H32)
+    dsc = lax.rsqrt(jnp.maximum(dg, 1e-30))
+    return H32 * dsc[:, None] * dsc[None, :], dsc
+
+
+def _factor_w_xla(Hs, rp: int):
+    """Jitter-laddered XLA f32 cholesky + full triangular inverse
+    W = L⁻¹ (solve_triangular against I: one throughput-bound batched
+    solve).  Mirrors pallas_newton._factor_jittered's ladder; as there,
+    jitter only degrades the preconditioner, never the answer."""
+    from jax.scipy.linalg import solve_triangular
+    eye = jnp.eye(rp, dtype=jnp.float32)
+
+    def cond(c):
+        i, W, bad = c
+        return bad & (i < 4)
+
+    def body(c):
+        i, _, _ = c
+        delta = jnp.where(
+            i == 0, 0.0,
+            jnp.where(i == 1, 1e-6, jnp.where(i == 2, 3e-3, 1.0))
+        ).astype(jnp.float32)
+        L = jnp.linalg.cholesky(Hs + delta * eye)
+        W = solve_triangular(L, eye, lower=True)
+        ok = jnp.isfinite(jnp.sum(W))
+        return i + 1, W, ~ok
+
+    _, W, _ = lax.while_loop(
+        cond, body,
+        (jnp.zeros((), jnp.int32), jnp.zeros((rp, rp), jnp.float32),
+         jnp.ones((), bool)))
+    return W
 
 
 _dd_rowvec_matvec = dd.dd_matvec_cols             # M x -> (k, 1) dd
