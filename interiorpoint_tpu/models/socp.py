@@ -203,19 +203,41 @@ class SOCPSolver(BarrierDriver):
         Result surface matches the barrier path; conic duals z are
         mapped to the squared-slack multipliers the reference reports
         (λ_k = z_k0 / (2·rhs_k), equivalent stationarity — the appended
-        rhs-domain slack entries carry λ = 0)."""
+        rhs-domain slack entries carry λ = 0).
+
+        When the null-space reduction is available (equalities, no
+        bounds — the same gate as the barrier path), the engine runs in
+        z-space with NO equality block: round-4 decomposition
+        (socp_decomp.log) showed the per-direction Schur-CG over the
+        equality multipliers — ~10 sequential accurate H-solves — was
+        ~the entire cost gap vs the barrier.  Eliminating F once per
+        solve makes each Mehrotra direction ONE posdef solve, the same
+        architecture the barrier engine already uses; the equality dual
+        y is recovered in closed form from stationarity afterwards."""
         import time as _time
         from types import SimpleNamespace
 
         prob = self._prob
         dtype = cfg.jnp_dtype
-        G = jnp.concatenate([prob.c[:, None, :], prob.A], axis=1)
-        h = jnp.concatenate([prob.d[:, None], prob.b], axis=1)
-        qv = (prob.q if prob.q is not None
-              else jnp.zeros((self.n,), dtype))
-        res, val = _socp_pd_core(G, h, qv, jnp.asarray(x0, dtype), cfg,
-                                 P=prob.P, F=prob.F, g=prob.g,
-                                 lb=prob.lb, ub=prob.ub)
+        rf = self._reduced
+        if rf is not None:
+            pprob = rf.prob
+            G = jnp.concatenate([pprob.c[:, None, :], pprob.A], axis=1)
+            h = jnp.concatenate([pprob.d[:, None], pprob.b], axis=1)
+            qv = (pprob.q if pprob.q is not None
+                  else jnp.zeros((G.shape[-1],), dtype))
+            z0 = rf.basis.N.T @ (jnp.asarray(x0, dtype) - rf.basis.x_p)
+            res, val = _socp_pd_core(G, h, qv, z0, cfg, P=pprob.P)
+            res = res._replace(x=rf.expand(res.x))
+            val = val + rf.obj_offset
+        else:
+            G = jnp.concatenate([prob.c[:, None, :], prob.A], axis=1)
+            h = jnp.concatenate([prob.d[:, None], prob.b], axis=1)
+            qv = (prob.q if prob.q is not None
+                  else jnp.zeros((self.n,), dtype))
+            res, val = _socp_pd_core(G, h, qv, jnp.asarray(x0, dtype),
+                                     cfg, P=prob.P, F=prob.F, g=prob.g,
+                                     lb=prob.lb, ub=prob.ub)
         res, val = jax.device_get((res, val))
 
         self.xstar = np.asarray(res.x)
@@ -258,7 +280,25 @@ class SOCPSolver(BarrierDriver):
             parts.append(np.zeros(lam_cone.shape[0]))  # rhs-domain block
             self.lam_star = np.concatenate(parts)
             if prob.F is not None:
-                self.v_star = np.asarray(res.y)
+                if rf is not None:
+                    # z-space engine carries no equality multiplier;
+                    # recover y from stationarity at the final iterate:
+                    # q + Px − Σ G_kᵀ z_k + Fᵀy = 0
+                    from ..ops.nullspace import recover_equality_dual
+
+                    Gf = jnp.concatenate([prob.c[:, None, :], prob.A],
+                                         axis=1)
+                    gf = -jnp.einsum("kmn,km->n", Gf,
+                                     jnp.asarray(res.z))
+                    if prob.q is not None:
+                        gf = gf + prob.q
+                    if prob.P is not None:
+                        gf = gf + prob.P @ jnp.asarray(self.xstar,
+                                                       dtype)
+                    self.v_star = np.asarray(recover_equality_dual(
+                        rf.basis, prob.F, gf))
+                else:
+                    self.v_star = np.asarray(res.y)
                 self.vstar = self.v_star
 
         self.last_metrics = metrics.solve_record(
