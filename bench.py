@@ -254,19 +254,6 @@ def roofline(suite, n, reps, dtype):
     # on steps the real solve would accept (measured: SOCP 6.9 vs
     # 3.3 ms/step)
     dtol = pn.dir_stall_tol(1e-4 if suite == "lp" else 1e-8)
-    if mode == "xla":
-        from interiorpoint_tpu.ops.xl_step import \
-            reduced_newton_step_xla as _step_xla
-
-        def step(tc_, z_, tP_):
-            return _step_xla(consts, tc_, z_, tP_, sig, alpha=0.2,
-                             dir_tol=dtol)
-    else:
-        def step(tc_, z_, tP_):
-            return pn.reduced_newton_step_prepared(
-                consts, tc_, z_, tP_, sig, alpha=0.2,
-                stream=mode == "stream", dir_tol=dtol)
-
     # Chain `reps` DEPENDENT steps inside one jitted fori_loop: a
     # per-call timing would fold the host→device dispatch latency
     # (~24 ms over this platform's tunnel, scripts/tpu_latency_probe.py)
@@ -278,17 +265,56 @@ def roofline(suite, n, reps, dtype):
     # timing-representative even after the iterate centers.
     from jax import lax as _lax
 
-    def chain(tc_, z_, tP_):
-        return _lax.fori_loop(
-            0, reps, lambda i, zc: step(tc_, zc, tP_)[0], z_)
+    use_ns = mode in ("resident", "stream") and pn.ns_carry_supported(r)
+    ns_hits = None
+    if mode == "xla":
+        from interiorpoint_tpu.ops.xl_step import \
+            reduced_newton_step_xla as _step_xla
+
+        def chain(tc_, z_, tP_):
+            def body(i, zc):
+                return _step_xla(consts, tc_, zc, tP_, sig, alpha=0.2,
+                                 dir_tol=dtol)[0]
+            return _lax.fori_loop(0, reps, body, z_), jnp.zeros(())
+    elif use_ns:
+        # production path: the engine carries the previous step's
+        # preconditioner inverse (pallas_newton Newton-Schulz fast
+        # path); the chain threads it identically and reports the
+        # measured hit rate alongside the timing.
+        rp_ = pn._pad(r)
+
+        def chain(tc_, z_, tP_):
+            def body(i, c):
+                zc, mv, ok, hits = c
+                xn, _, _, _, _, mv, ok, hit = \
+                    pn.reduced_newton_step_prepared(
+                        consts, tc_, zc, tP_, sig, alpha=0.2,
+                        stream=mode == "stream", dir_tol=dtol,
+                        minv=mv, mvok=ok)
+                return xn, mv, ok, hits + hit
+            out = _lax.fori_loop(
+                0, reps, body,
+                (z_, jnp.zeros((rp_, rp_), jnp.float32),
+                 jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)))
+            return out[0], out[3]
+    else:
+        def chain(tc_, z_, tP_):
+            def body(i, zc):
+                return pn.reduced_newton_step_prepared(
+                    consts, tc_, zc, tP_, sig, alpha=0.2,
+                    stream=mode == "stream", dir_tol=dtol)[0]
+            return _lax.fori_loop(0, reps, body, z_), jnp.zeros(())
 
     jit_chain = jax.jit(chain)
     tP = None if Pz is None else jnp.asarray(Pz)
     args_ = (tc, jnp.asarray(z0), tP)
     jax.block_until_ready(jit_chain(*args_))          # compile + warm
     t0 = time.time()
-    jax.block_until_ready(jit_chain(*args_))
+    _, hits = jit_chain(*args_)
+    jax.block_until_ready(hits)
     dt = max(time.time() - t0 - tunnel_rtt(), 1e-9) / reps
+    if use_ns:
+        ns_hits = float(hits) / reps
 
     refine_passes = 3 + 1                              # refine rounds + p1
     flops = (2.0 * k * r * r                           # Gram CᵀWC
@@ -305,6 +331,7 @@ def roofline(suite, n, reps, dtype):
         achieved_tflops=achieved / 1e12,
         frac_f32_eff_peak=achieved / V5E_F32_EFF_PEAK,
         frac_bf16_peak=achieved / V5E_BF16_PEAK,
+        ns_hit_rate=ns_hits,
     )
 
 
@@ -560,17 +587,23 @@ def main():
         if suite not in ROOFLINE_SUITES:
             sys.exit(f"--roofline supports {ROOFLINE_SUITES}, not {suite}")
         res = roofline(suite, args.n, max(args.reps, 10), args.dtype)
+        hr = res.get("ns_hit_rate")
         print(f"# roofline {res['suite']} n={res['n']}: reduced shape "
               f"k={res['k']} r={res['r']} mode={res['mode']}, "
               f"{res['step_ms']:.2f} ms/step, "
-              f"{res['useful_gflop']:.2f} GFLOP useful", file=sys.stderr)
-        print(json.dumps({
+              f"{res['useful_gflop']:.2f} GFLOP useful"
+              + (f", ns_hit_rate={hr:.2f}" if hr is not None else ""),
+              file=sys.stderr)
+        rec = {
             "metric": f"{suite}_n{args.n}_fused_step_tflops",
             "value": round(res["achieved_tflops"], 3),
             "unit": "TFLOP/s",
             "vs_baseline": round(res["frac_f32_eff_peak"], 4),
             "rtt_ms": round(tunnel_rtt() * 1e3, 2),
-        }))
+        }
+        if hr is not None:
+            rec["ns_hit_rate"] = round(hr, 3)
+        print(json.dumps(rec))
         return
 
     fns = {"lp": bench_lp, "qp": bench_qp, "socp": bench_socp,

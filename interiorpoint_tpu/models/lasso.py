@@ -132,6 +132,11 @@ class LassoSolver:
         if self.num_chunks == 1:
             res = run(prepared, self._A, self._b, self._reg, self.cfg,
                       self.num_samples)
+            # ONE transfer for the whole result tree: separate
+            # np.asarray fetches each pay the tunnel dispatch RTT
+            # (~24 ms here — 3 extra round trips explained most of the
+            # round-4 bench.py-vs-round4d LASSO spread, VERDICT weak #8)
+            res = jax.device_get(res)
             self.X = np.asarray(res.X)
             self.solutions = np.asarray(res.solutions)
             it = int(res.iterations)
@@ -153,6 +158,7 @@ class LassoSolver:
             reg_i = self._reg[sel] if len(self.reg) == self.num_samples \
                 else self._reg
             res = run(prepared, self._A, b_i, reg_i, self.cfg, len(sel))
+            res = jax.device_get(res)   # one transfer per chunk
             self.X[:, sel] = np.asarray(res.X)
             self.solutions[sel] = np.asarray(res.solutions)
             if self.compute_loss:

@@ -166,7 +166,7 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
         from . import pallas_newton
         C_lin, d_lin, lin_cost, P_lin = oracle.lin_form
         mode = pallas_newton.kernel_mode(*C_lin.shape, P_lin is not None)
-        if mode in ("stream", "xl") and not cfg.allow_stream:
+        if mode == "stream" and not cfg.allow_stream:
             mode = None   # e.g. under vmap (see SolverConfig.allow_stream)
         if mode is not None:
             use_fused = True
@@ -221,6 +221,13 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
               and not oracle.diag_hessian and dtype == jnp.float64
               and jax.default_backend() == "tpu")
 
+    # Cross-step preconditioner carry for the fused mega-kernel
+    # (pallas_newton Newton-Schulz fast path): the previous step's
+    # explicit Hs^-1 rides the loop state; mvok=0 on the first step.
+    use_ns = (use_fused and mode in ("resident", "stream")
+              and pallas_newton.ns_carry_supported(consts.r))
+    rp_ns = pallas_newton._pad(consts.r) if use_ns else 1
+
     class S(NamedTuple):
         x: jax.Array
         it: jax.Array
@@ -228,6 +235,8 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
         done: jax.Array
         success: jax.Array
         hist: jax.Array
+        minv: jax.Array
+        mvok: jax.Array
 
     def cond(s: S):
         return (~s.done) & (s.it < cfg.max_inner_iters)
@@ -246,6 +255,16 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
                 xl_step.reduced_newton_step_xla(
                     consts, tc, s.x, tP, sigmas, alpha=cfg.alpha,
                     refine=cfg.pallas_refine, dir_tol=fused_dir_tol))
+            nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
+            j = _sigma_index(_sigma)
+        elif use_fused and use_ns:
+            # One kernel = direction + line search, with the Minv carry
+            # (the factor chain is skipped on Newton-Schulz hits).
+            (x_new, nd, _sigma, any_acc, dir_ok, minv_new, mvok_new,
+             _hit) = pallas_newton.reduced_newton_step_prepared(
+                 consts, tc, s.x, tP, sigmas, alpha=cfg.alpha,
+                 refine=cfg.pallas_refine, stream=fused_stream,
+                 dir_tol=fused_dir_tol, minv=s.minv, mvok=s.mvok)
             nd = jnp.where(dir_ok, nd, jnp.maximum(nd, cfg.inner_epsilon))
             j = _sigma_index(_sigma)
         elif use_fused:
@@ -316,14 +335,20 @@ def newton_feasible(oracle: Oracle, x0, t, cfg, *, phase1_flag: bool = False,
         else:
             done = (~any_acc) | converged
             success = converged
+        if use_ns:
+            minv, mvok = minv_new, mvok_new
+        else:
+            minv, mvok = s.minv, s.mvok
         return S(x=x_new, it=s.it + 1, nd=nd, done=done, success=success,
-                 hist=hist)
+                 hist=hist, minv=minv, mvok=mvok)
 
     init = S(
         x=x0, it=jnp.zeros((), jnp.int32),
         nd=jnp.asarray(jnp.inf, dtype),
         done=jnp.zeros((), bool), success=jnp.zeros((), bool),
         hist=jnp.zeros((sigmas.shape[0],), jnp.int32),
+        minv=jnp.zeros((rp_ns, rp_ns), jnp.float32),
+        mvok=jnp.zeros((), jnp.float32),
     )
     out = lax.while_loop(cond, body, init)
     return NewtonResult(x=out.x, v=None, iters=out.it, resid=out.nd,

@@ -372,11 +372,42 @@ def dir_stall_tol(epsilon: float, floor: float = 1e-6,
     return min(cap, max(floor, 0.1 * math.sqrt(epsilon)))
 
 
+# ---------------------------------------------------------------------------
+# Preconditioner reuse across Newton steps (round-5, VERDICT r4 item 2).
+#
+# The blocked f32 factor + triangular inverse exist ONLY to produce a
+# preconditioner — the dd refinement / PCG corrects against the true
+# operator regardless — and their sequential pivot chains are the
+# measured per-step floor at resident shapes (round-4 factor probe:
+# 71 us/diagonal block = 61% of the 233 us LP n=1000 step).  The barrier
+# Hessian changes little between most Newton iterations (damped/centering
+# steps), so the engine carries the previous step's explicit inverse
+# Minv ~= Hs^-1 and refreshes it with Newton-Schulz iterations
+#   X <- X + X(I - Hs X)      (error EXACTLY squares: R_{k+1} = R_k^2)
+# — pure MXU matmuls, ~10 us at rp=256 vs ~150 us for factor+invert.
+# The trial is gated on the FINAL residual ||I - Hs X||_F < 0.01 (which
+# also certifies Minv PD, so the PCG escalation stays valid); any miss
+# (aggressive step, jitter-grade Hs, first iteration) falls back to the
+# full factor path and re-seeds Minv = W^T W.  Like the factor, Minv
+# only ever shapes preconditioner quality — never the answer.
+# ---------------------------------------------------------------------------
+_NS_ITERS = 12            # cap; typical hits converge in ~5 (measured)
+_NS_GATE2 = 1e-4          # ||I - Hs X||_F^2 acceptance gate (0.01^2)
+_NS_MAX_RP = 512          # carry envelope: beyond this the WtW re-seed
+                          # matmul (rp^3) starts rivaling the factor
+
+
+def ns_carry_supported(r: int) -> bool:
+    """Whether the Minv carry pays at this reduced width (see above)."""
+    return _pad(r) <= _NS_MAX_RP
+
+
 def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
                     zhi, zlo, tPhi, tPlo,
                     l_ref, dinv_ref, x_ref, vec_ref,
                     *, nb: int, refine: int, has_P: bool, r: int,
-                    rp: int, stall_rel2: float = 1e-12, CH: int = CH):
+                    rp: int, stall_rel2: float = 1e-12, CH: int = CH,
+                    minv_ref=None, mvok=None, minvout_ref=None):
     """Shared kernel core: slacks -> gradient -> f32 factor -> dd-refined
     Newton direction.
 
@@ -422,11 +453,71 @@ def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
         gh, gl = dd.dd_add(gh, gl, pzh, pzl)
         H32 = H32 + tPhi
     Hs, dsc_r, eye = _equilibrate(H32, r, rp)
-    _factor_jittered(l_ref, dinv_ref, Hs, eye, nb)
-    _chol_invert_ref(l_ref, dinv_ref, nb)   # l_ref now holds W = L^-1
+    if minv_ref is None:
+        _factor_jittered(l_ref, dinv_ref, Hs, eye, nb)
+        _chol_invert_ref(l_ref, dinv_ref, nb)  # l_ref now holds W = L^-1
 
-    def _precond_solve(rhs_row):
-        return _w_solve(l_ref, rhs_row)
+        def _precond_solve(rhs_row):
+            return _w_solve(l_ref, rhs_row)
+        ns_hit = jnp.zeros((), jnp.float32)
+    else:
+        # Minv-carry fast path (see the _NS_ITERS comment above).
+        def _try_ns(X):
+            # Spectral rescale first: eig(Hs·X) > 0 always (product of
+            # SPD matrices), so X/λmax puts the spectrum in (0, 1] and
+            # the NS iteration is guaranteed convergent in exact
+            # arithmetic even after an aggressive step (un-rescaled NS
+            # diverges whenever λmax(Hs·X) > 2 — measured ρ≈2.8 after a
+            # σ=0.6 step).  λmax from 3 power iterations (tiny matvecs).
+            u = jnp.full((rp, 1), 1.0 / float(rp) ** 0.5, jnp.float32)
+
+            def pw(_, c):
+                u, _ = c
+                v = _dot(Hs, _dot(X, u))
+                nrm = jnp.sqrt(jnp.sum(v * v))
+                return v / jnp.maximum(nrm, 1e-30), nrm
+
+            _, lam = lax.fori_loop(0, 3, pw, (u, jnp.ones((),
+                                                          jnp.float32)))
+            X = X * (1.0 / jnp.maximum(lam, 1e-30))
+            R = eye - _dot(Hs, X)
+
+            def it_cond(c):
+                i, Xc, Rc = c
+                f2 = jnp.sum(Rc * Rc)
+                return ((i < _NS_ITERS) & (f2 > _NS_GATE2)
+                        & (f2 < 1e8) & jnp.isfinite(f2))
+
+            def it(c):
+                i, Xc, Rc = c
+                Xc = Xc + _dot(Xc, Rc)
+                return i + 1, Xc, eye - _dot(Hs, Xc)
+
+            _, X, R = lax.while_loop(
+                it_cond, it, (jnp.zeros((), jnp.int32), X, R))
+            return X, jnp.sum(R * R)
+
+        X_ns, rho2 = lax.cond(
+            mvok > 0.0, _try_ns,
+            lambda X: (X, jnp.full((), jnp.inf, jnp.float32)),
+            minv_ref[:])
+        ns_ok = (rho2 < _NS_GATE2) & jnp.isfinite(rho2)
+
+        @pl.when(ns_ok)
+        def _():
+            minvout_ref[:] = X_ns
+
+        @pl.when(~ns_ok)
+        def _():
+            _factor_jittered(l_ref, dinv_ref, Hs, eye, nb)
+            _chol_invert_ref(l_ref, dinv_ref, nb)
+            W = l_ref[:]
+            minvout_ref[:] = _dot_tn(W, W)     # Hs^-1 = W^T W
+
+        def _precond_solve(rhs_row):
+            # Minv symmetric: row @ Minv == (Minv @ row^T)^T
+            return _dot(rhs_row, minvout_ref[:])
+        ns_hit = ns_ok.astype(jnp.float32)
 
     def _dd_apply(xh, xl):
         """True-operator dd matvec H x, matrix-free
@@ -449,7 +540,16 @@ def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
             rh_c, rl_c = dd.dd_reduce(ph, pl2, axis=0)
             return dd.dd_add(ah, al, rh_c, rl_c)
 
-        hxh, hxl = foreach_c(body, (zer, zer))
+        # At loose direction tolerances (ε=1e-4-class solves: stall gate
+        # ≥ (3e-5)²) the refinement operator drops C's lo half: the
+        # ~1e-8 relative operator perturbation is three orders below the
+        # accepted direction grade, and in streaming mode each skipped
+        # lo read halves the refinement pass's HBM traffic (C hi+lo is
+        # the dominant stream cost at n=5000 — round-4 roofline).  The
+        # slack/gradient pass (p1) always keeps lo: slacks near the
+        # boundary cancel and NEED the full dd product.
+        hxh, hxl = foreach_c(body, (zer, zer),
+                             need_lo=stall_rel2 < 1e-9)
         if has_P:
             pxh, pxl = _dd_pmatvec_row(tPhi, tPlo, xh, xl)
             hxh, hxl = dd.dd_add(hxh, hxl, pxh, pxl)
@@ -460,7 +560,7 @@ def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
         stall_rel2=stall_rel2)
 
     return dict(xh=xh, xl=xl, gh=gh, gl=gl, rh=rh, rl=rl,
-                rn2=rn2, bn2=bn2)
+                rn2=rn2, bn2=bn2, ns_hit=ns_hit)
 
 
 def _refined_solve(precond_solve, dd_apply, Hs, dsc_r, gh, gl, refine,
@@ -682,11 +782,10 @@ def _phi_stable(y):
 
 def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
                         tclo_ref, zhi_ref, zlo_ref, tPhi_ref, tPlo_ref,
-                        sig_ref, xnh_ref, xnl_ref, stats_ref,
-                        *scratch, nb: int, nck: int, refine: int,
+                        sig_ref, *rest, nb: int, nck: int, refine: int,
                         has_P: bool, r: int, rp: int, alpha: float,
                         stream: bool, stall_rel2: float = 1e-12,
-                        CH: int = CH):
+                        CH: int = CH, use_ns: bool = False):
     """Full Newton step: direction + closed-form backtracking line search.
 
     Replaces the engine's f64 candidate sweep (ops/barrier.py ls_objs):
@@ -697,7 +796,18 @@ def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
     is the closed form  sigma * max_i(u_i) < 1  (slacks affine in sigma).
     Selection = largest accepted sigma, identical to the reference's
     sequential shrink (reference: NewtonSolver.py:157-206).
+
+    With ``use_ns`` the argument list gains minv/mvok inputs and a
+    minvout output (the cross-step preconditioner carry — see
+    _direction_core).
     """
+    if use_ns:
+        (minv_ref, mvok_ref, xnh_ref, xnl_ref, stats_ref, minvout_ref,
+         *scratch) = rest
+        mvok = mvok_ref[0, 0]
+    else:
+        xnh_ref, xnl_ref, stats_ref, *scratch = rest
+        minv_ref = mvok = minvout_ref = None
     foreach_c, (l_ref, dinv_ref, x_ref, vec_ref) = _make_foreach(
         Chi_ref, Clo_ref, scratch, nck, stream, CH)
     zhi, zlo = zhi_ref[:], zlo_ref[:]
@@ -706,7 +816,8 @@ def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
         foreach_c, dhi_ref, dlo_ref, tchi_ref[:], tclo_ref[:],
         zhi, zlo, tPhi, tPlo, l_ref, dinv_ref, x_ref, vec_ref,
         nb=nb, refine=refine, has_P=has_P, r=r, rp=rp,
-        stall_rel2=stall_rel2, CH=CH)
+        stall_rel2=stall_rel2, CH=CH,
+        minv_ref=minv_ref, mvok=mvok, minvout_ref=minvout_ref)
     xh, xl = out["xh"], out["xl"]
     gh, gl = out["gh"], out["gl"]
     sig = sig_ref[:]                                  # (1, J) f32
@@ -768,6 +879,7 @@ def _newton_step_kernel(Chi_ref, Clo_ref, dhi_ref, dlo_ref, tchi_ref,
     stats_ref[0, 5] = gdx32
     stats_ref[0, 6] = out["bn2"]
     stats_ref[0, 7] = q2
+    stats_ref[0, 8] = out["ns_hit"]
 
 
 def _padk(k: int, ch: int = CH) -> int:
@@ -939,7 +1051,8 @@ def reduced_newton_step_prepared(consts: ReducedConsts, tc, z, tP, sigmas,
                                  *, alpha: float, refine: int = 3,
                                  interpret: bool = False,
                                  stream: bool = False,
-                                 dir_tol: float = 1e-6):
+                                 dir_tol: float = 1e-6,
+                                 minv=None, mvok=None):
     """One full Newton iteration (direction + line search) as ONE kernel.
 
     Args:
@@ -948,11 +1061,16 @@ def reduced_newton_step_prepared(consts: ReducedConsts, tc, z, tP, sigmas,
       tP: optional (r, r) f64 t-scaled quadratic term.
       sigmas: (J,) f64/f32 candidate steps beta**k (cast to f32).
       alpha: static Armijo parameter.
+      minv/mvok: optional (rp, rp) f32 preconditioner carry + validity
+        scalar (see _direction_core's Newton-Schulz fast path).  Pass
+        both to enable the carry; the return then gains
+        (minv_out, mv_ok_out, ns_hit).
 
     Returns:
-      (x_new, nd, sigma, any_acc, rn): the accepted iterate (f64), the
-      Newton decrement -g.dx/2 (f64), the accepted step (f32 scalar),
-      whether any candidate passed, and the direction residual norm.
+      (x_new, nd, sigma, any_acc, rn)[, minv_out, mv_ok_out, ns_hit]:
+      the accepted iterate (f64), the Newton decrement -g.dx/2 (f64),
+      the accepted step (f32 scalar), whether any candidate passed, and
+      the direction residual norm.
     """
     k, r = consts.k, consts.r
     rp = _pad(r)
@@ -961,6 +1079,7 @@ def reduced_newton_step_prepared(consts: ReducedConsts, tc, z, tP, sigmas,
     kp = consts.Chi.shape[0]
     nck = kp // ch
     f64 = tc.dtype
+    use_ns = minv is not None
 
     tchi, tclo = dd.split_f64(_pad2(tc[None, :], 1, rp))
     zhi, zlo = dd.split_f64(_pad2(z[None, :], 1, rp))
@@ -979,25 +1098,40 @@ def reduced_newton_step_prepared(consts: ReducedConsts, tc, z, tP, sigmas,
     kernel = functools.partial(
         _newton_step_kernel, nb=nb, nck=nck, refine=refine,
         has_P=tP is not None, r=r, rp=rp, alpha=float(alpha),
-        stream=stream, stall_rel2=float(dir_tol) ** 2, CH=ch)
+        stream=stream, stall_rel2=float(dir_tol) ** 2, CH=ch,
+        use_ns=use_ns)
+    out_shape = [
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, 9), jnp.float32),
+    ]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 \
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    n_vin = 9
+    args = [consts.Chi, consts.Clo, consts.dhi, consts.dlo, tchi, tclo,
+            zhi, zlo, tPhi, tPlo, sig32]
+    if use_ns:
+        args += [minv.astype(jnp.float32),
+                 jnp.asarray(mvok, jnp.float32).reshape(1, 1)]
+        n_vin += 2
+        out_shape.append(jax.ShapeDtypeStruct((rp, rp), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     with jax.enable_x64(False):
-        xnh, xnl, stats = pl.pallas_call(
+        res = pl.pallas_call(
             kernel,
-            out_shape=(
-                jax.ShapeDtypeStruct((1, rp), jnp.float32),
-                jax.ShapeDtypeStruct((1, rp), jnp.float32),
-                jax.ShapeDtypeStruct((1, 8), jnp.float32),
-            ),
+            out_shape=tuple(out_shape),
             in_specs=_c_in_specs(stream)
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
-            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2
-            + (pl.BlockSpec(memory_space=pltpu.SMEM),),
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_vin,
+            out_specs=tuple(out_specs),
             scratch_shapes=_common_scratch(kp, rp, stream, ch),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024),
             interpret=interpret,
-        )(consts.Chi, consts.Clo, consts.dhi, consts.dlo, tchi, tclo,
-          zhi, zlo, tPhi, tPlo, sig32)
+        )(*args)
+    if use_ns:
+        xnh, xnl, stats, minv_out = res
+    else:
+        xnh, xnl, stats = res
 
     x_new = dd.join_f64(xnh, xnl)[0, :r].astype(f64)
     nd = (stats[0, 0].astype(f64) + stats[0, 1].astype(f64))
@@ -1006,6 +1140,11 @@ def reduced_newton_step_prepared(consts: ReducedConsts, tc, z, tP, sigmas,
     # dir_ok: relative (scaled) direction residual below 1e-2 -> the
     # Newton decrement is trustworthy to ~1%
     dir_ok = stats[0, 4] <= 1e-4 * stats[0, 6] + 1e-30
+    if use_ns:
+        # the carry is valid from now on (either the NS trial passed or
+        # the factor path re-seeded it)
+        return (x_new, nd, sigma, any_acc, dir_ok, minv_out,
+                jnp.ones((), jnp.float32), stats[0, 8])
     return x_new, nd, sigma, any_acc, dir_ok
 
 

@@ -175,3 +175,41 @@ def test_phi_stable_matches_direct_form():
     # y >= 1 must reject the candidate (inf/nan, never a finite value)
     bad = np.asarray(_phi_stable(jnp.asarray([1.0, 1.5], jnp.float32)))
     assert not np.isfinite(bad).any()
+
+
+def test_ns_preconditioner_carry_parity():
+    """The Minv carry (Newton-Schulz fast path) never changes WHAT the
+    step computes — only how the preconditioner is produced.  Chain
+    several dependent steps with and without the carry and require
+    iterate agreement at preconditioner grade (the direction is
+    dd-refined against the true operator on both paths), plus at least
+    one NS hit on the warm steps of a converging chain."""
+    from interiorpoint_tpu.ops.pallas_newton import _pad, ns_carry_supported
+
+    rng = np.random.default_rng(3)
+    k, r = 400, 96
+    assert ns_carry_supported(r)
+    C = rng.standard_normal((k, r))
+    z = np.zeros(r)
+    d = C @ z + rng.uniform(0.5, 2.0, k)
+    tc = rng.standard_normal(r)
+    consts = prep_reduced_consts(jnp.asarray(C), jnp.asarray(d))
+    sig = jnp.asarray(_sigmas())
+    rp = _pad(r)
+
+    minv = jnp.zeros((rp, rp), jnp.float32)
+    mvok = jnp.zeros(())
+    zc_ns = zc_ref = jnp.asarray(z)
+    hits = 0.0
+    for _ in range(5):
+        (zc_ns, nd_ns, _, _, _, minv, mvok, hit) = \
+            reduced_newton_step_prepared(
+                consts, jnp.asarray(tc), zc_ns, None, sig, alpha=ALPHA,
+                interpret=True, minv=minv, mvok=mvok)
+        zc_ref, nd_ref, _, _, _ = reduced_newton_step_prepared(
+            consts, jnp.asarray(tc), zc_ref, None, sig, alpha=ALPHA,
+            interpret=True)
+        hits += float(hit)
+        assert np.allclose(np.asarray(zc_ns), np.asarray(zc_ref),
+                           atol=1e-6), "carry diverged from factor path"
+    assert hits >= 1.0, "NS fast path never hit on a converging chain"
