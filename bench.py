@@ -270,12 +270,7 @@ def roofline(suite, n, reps, dtype):
     if mode == "xla":
         from interiorpoint_tpu.ops.xl_step import \
             reduced_newton_step_xla as _step_xla
-
-        def chain(tc_, z_, tP_):
-            def body(i, zc):
-                return _step_xla(consts, tc_, zc, tP_, sig, alpha=0.2,
-                                 dir_tol=dtol)[0]
-            return _lax.fori_loop(0, reps, body, z_), jnp.zeros(())
+        chain = None          # built below (consts arrays as jit args)
     elif use_ns:
         # production path: the engine carries the previous step's
         # preconditioner inverse (pallas_newton Newton-Schulz fast
@@ -283,12 +278,14 @@ def roofline(suite, n, reps, dtype):
         # measured hit rate alongside the timing.
         rp_ = pn._pad(r)
 
-        def chain(tc_, z_, tP_):
+        def chain(tc_, z_, tP_, ca_):
+            c_ = consts._replace(**ca_)
+
             def body(i, c):
                 zc, mv, ok, hits = c
                 xn, _, _, _, _, mv, ok, hit = \
                     pn.reduced_newton_step_prepared(
-                        consts, tc_, zc, tP_, sig, alpha=0.2,
+                        c_, tc_, zc, tP_, sig, alpha=0.2,
                         stream=mode == "stream", dir_tol=dtol,
                         minv=mv, mvok=ok)
                 return xn, mv, ok, hits + hit
@@ -298,16 +295,31 @@ def roofline(suite, n, reps, dtype):
                  jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)))
             return out[0], out[3]
     else:
-        def chain(tc_, z_, tP_):
+        def chain(tc_, z_, tP_, ca_):
+            c_ = consts._replace(**ca_)
+
             def body(i, zc):
                 return pn.reduced_newton_step_prepared(
-                    consts, tc_, zc, tP_, sig, alpha=0.2,
+                    c_, tc_, zc, tP_, sig, alpha=0.2,
                     stream=mode == "stream", dir_tol=dtol)[0]
             return _lax.fori_loop(0, reps, body, z_), jnp.zeros(())
 
+    if mode == "xla":
+        def chain_wrapped(tc_, z_, tP_, ca_):
+            c_ = consts._replace(**ca_)
+
+            def body(i, zc):
+                return _step_xla(c_, tc_, zc, tP_, sig, alpha=0.2,
+                                 dir_tol=dtol)[0]
+            return _lax.fori_loop(0, reps, body, z_), jnp.zeros(())
+        chain = chain_wrapped
+
     jit_chain = jax.jit(chain)
     tP = None if Pz is None else jnp.asarray(Pz)
-    args_ = (tc, jnp.asarray(z0), tP)
+    # consts arrays go through as jit ARGUMENTS (see _chain_time's
+    # closure-constant note — at n=10000 the Chi/Clo pair alone is
+    # 360 MB of would-be program constants)
+    args_ = (tc, jnp.asarray(z0), tP, _nt_arrays(consts))
     jax.block_until_ready(jit_chain(*args_))          # compile + warm
     t0 = time.time()
     _, hits = jit_chain(*args_)
@@ -335,23 +347,39 @@ def roofline(suite, n, reps, dtype):
     )
 
 
-def _chain_time(step_state, state0, reps):
+def _chain_time(step_state, state0, reps, operands=()):
     """Compile + time ``reps`` DEPENDENT step applications inside one
     jitted fori_loop (same rationale as the lp/qp roofline: the
     production solver runs its iterations inside one while_loop program
     with no per-step dispatch); the chain's single fetch RTT is
-    subtracted (tunnel_rtt).  Returns seconds per step."""
+    subtracted (tunnel_rtt).  Returns seconds per step.
+
+    ``operands``: large arrays the step needs, passed as jit ARGUMENTS
+    — a closure-captured device array is baked into the serialized
+    program as a constant, and at XL shapes the upload blows the
+    tunnel's remote-compile body cap (HTTP 413 — this, not Mosaic, is
+    what killed the round-4e socp n=3000 and round-5d lp n=10000
+    roofline attempts).  step_state(st, *operands)."""
     import jax
     from jax import lax
 
-    def chain(st):
-        return lax.fori_loop(0, reps, lambda i, s: step_state(s), st)
+    def chain(st, *ops):
+        return lax.fori_loop(0, reps,
+                             lambda i, s: step_state(s, *ops), st)
 
     jc = jax.jit(chain)
-    jax.block_until_ready(jc(state0))          # compile + warm
+    jax.block_until_ready(jc(state0, *operands))      # compile + warm
     t0 = time.time()
-    jax.block_until_ready(jc(state0))
+    jax.block_until_ready(jc(state0, *operands))
     return max(time.time() - t0 - tunnel_rtt(), 1e-9) / reps
+
+
+def _nt_arrays(nt):
+    """The array-valued fields of a consts NamedTuple, as a dict jit
+    can take as an argument (static int fields stay in the closure
+    template; rebuild with ``nt._replace(**d)``)."""
+    return {k: v for k, v in nt._asdict().items()
+            if hasattr(v, "dtype")}
 
 
 def _lpqp_problem(suite, n, dtype):
@@ -411,13 +439,15 @@ def _roofline_pd(suite, n, reps, dtype):
     s0 = jnp.maximum(dz - Cz @ z0, 1e-2)
     lam0 = 1.0 / s0
 
-    def step(st):
+    def step(st, ca, q_, P_):
         z, s, lam = st
         z2, s2, lam2, _ = pd_step_prepared(
-            consts, q, z, s, lam, Pz, stream=mode == "stream")
+            consts._replace(**ca), q_, z, s, lam, P_,
+            stream=mode == "stream")
         return z2, s2, lam2
 
-    dt = _chain_time(step, (z0, s0, lam0), reps)
+    dt = _chain_time(step, (z0, s0, lam0), reps,
+                     operands=(_nt_arrays(consts), q, Pz))
     flops = (2.0 * k * r * r + 2.0 * r**3 / 3.0 + 12.0 * 4.0 * k * r)
     if Pz is not None:
         flops += 2.0 * r * r * 6
@@ -468,17 +498,20 @@ def _roofline_socp(n, reps, dtype):
     if socp_mode == "xla":
         from interiorpoint_tpu.ops.xl_step import socp_newton_step_xla
 
-        def step(z):
+        def step(z, ca, tq_, tP_):
             xn, _, _, _, _, _ = socp_newton_step_xla(
-                consts, tq, z, tP, sig, alpha=0.2, dir_tol=dtol)
+                consts._replace(**ca), tq_, z, tP_, sig, alpha=0.2,
+                dir_tol=dtol)
             return xn
     else:
-        def step(z):
+        def step(z, ca, tq_, tP_):
             xn, _, _, _, _, _ = ps.socp_newton_step_prepared(
-                consts, tq, z, tP, sig, alpha=0.2, dir_tol=dtol)
+                consts._replace(**ca), tq_, z, tP_, sig, alpha=0.2,
+                dir_tol=dtol)
             return xn
 
-    dt = _chain_time(step, z0, reps)
+    dt = _chain_time(step, z0, reps,
+                     operands=(_nt_arrays(consts), tq, tP))
     flops = (2.0 * (K * M) * r * r + 2.0 * K * r * r
              + 2.0 * r**3 / 3.0)
     if sprob.P is not None:
@@ -524,14 +557,16 @@ def _roofline_kkt(n, reps, dtype):
     r1_0 = jnp.asarray(rng.standard_normal(n))
     rpe_0 = jnp.asarray(rng.standard_normal(pe))
 
-    def step(st):
+    def step(st, Hh, Hl, ca):
         r1, rpe = st
-        dx, dy, _, _ = kkt_dir_prepared(Hhi, Hlo, consts, r1, rpe)
+        dx, dy, _, _ = kkt_dir_prepared(Hh, Hl, consts._replace(**ca),
+                                        r1, rpe)
         # feed the direction back at numerically-nil weight: keeps the
         # chain sequentially dependent without leaving the test point
         return r1_0 + 1e-20 * dx, rpe_0 + 1e-20 * dy
 
-    dt = _chain_time(step, (r1_0, rpe_0), reps)
+    dt = _chain_time(step, (r1_0, rpe_0), reps,
+                     operands=(Hhi, Hlo, _nt_arrays(consts)))
     from interiorpoint_tpu.ops.pallas_chol import BLK
     rp = max(BLK, -(-n // BLK) * BLK)
     flops = (2.0 * rp**3 / 3.0               # factor + inverse

@@ -55,7 +55,14 @@ Writes a table of efficiency vs N and the min-n frontier for >=70%.
 """
 import sys
 
-RATE_MXU = 4.2e12    # dd/f32 split-matmul class, f64-equivalent F/s
+# Re-anchored at round-5 HEAD (VERDICT r4 item 8): the round-2 anchor
+# (4.2e12) predated the lean factor, the chunk-fused Gram, the RTT
+# correction, and the round-5 step work.  The HEAD in-situ rate of the
+# dd/f32 split-matmul class is the measured LP n=5000 streaming step:
+# 12.1 TFLOP/s f64-equivalent over the WHOLE step (round5d_raw.log) —
+# conservative as a class rate since it averages the factor/refine
+# fractions in.
+RATE_MXU = 1.21e13   # dd/f32 split-matmul class, f64-equivalent F/s
 RATE_TRI = 4e11      # many-rhs triangular solves (matmul-like, conservative)
 
 # XLA Cholesky structural model: a blocked factor is (n/b) sequential
