@@ -316,13 +316,18 @@ class SOCPSolver(BarrierDriver):
         return self.value
 
     def _auto_algorithm(self) -> str:
-        """Measured on v5e (round-4 RTT-adjusted): the fused-kernel
+        """Measured on v5e (round-5, RTT-adjusted): the fused-kernel
         barrier beats the conic Mehrotra engine at every SOCP benchmark
-        shape on this hardware (n=1000: 0.078 vs 0.35-0.40 s) — the
-        per-direction Schur-CG's serialized refined H-solves dominate
-        the pd iteration.  ``algorithm="pd"`` stays available
-        explicitly (it is the production-conic-solver algorithm family
-        and wins on iteration count, 10-30 vs 100+ Newton steps)."""
+        shape on this hardware — n=1000: 0.075 vs 0.206 s, n=3000:
+        1.23 vs 7.24 s (round5c/f logs) — even after the round-5
+        null-space reduction removed the per-direction Schur-CG (the
+        engine converges in ~8 iterations; the residual gap is the
+        per-iteration NT/H-assembly glue, whose f64 contractions are
+        emulated on TPU — a double-float rewrite was tried and measured
+        SLOWER, round5f, so it was reverted).  ``algorithm="pd"`` stays
+        available explicitly (it is the production-conic-solver
+        algorithm family and wins on iteration count, ~8 vs 100+ Newton
+        steps)."""
         return "barrier"
 
     def _staged_heuristic(self) -> bool:

@@ -38,8 +38,6 @@ from jax import lax
 
 from .kkt import posdef_solver
 from .pd import _max_step as _max_step_lin
-from .socp import _dd_aty, _dd_mv
-from .dd import dd_add, dd_mul, join_f64, split_f64
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 _GAMMA = 0.99
@@ -138,7 +136,7 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
                   lb=None, ub=None, max_iters=None,
                   kkt_kernel=None,
                   exact_fallback=None,
-                  kkt_tols=None, dd_ops=None) -> SOCPPDResult:
+                  kkt_tols=None) -> SOCPPDResult:
     """Conic Mehrotra predictor-corrector solve (module docstring).
 
     Args:
@@ -161,8 +159,6 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
         fused-KKT direction solves (measurement/tuning hook; defaults
         are the measured-best tight values — see the comment at
         ``kkt_dir_tol`` below).
-      dd_ops: force the double-float contraction path on (True) or off
-        (False); None = auto (TPU + f64, the production setting).
     """
     dtype = G.dtype
     K, M1, n = G.shape
@@ -172,49 +168,6 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
     if max_iters is None:
         max_iters = int(cfg.pd_max_iters)
     e = jnp.zeros((K, M1), dtype).at[:, 0].set(1.0)
-
-    # ---- double-float contraction path (round 5) --------------------------
-    # On TPU every f64 contraction over the stacked cone map is EMULATED:
-    # the per-iteration glue (H assembly + residual einsums) measured
-    # 12 ms at n=1000 — 8x the cost of the fused direction solves — and
-    # the one-time JG precompute alone took 1.96 s (round5e probe).
-    # With statically split operands the same math runs as f32 VPU/MXU
-    # work at ~4e-15 relative — the barrier oracle's accuracy contract
-    # (ops/socp.py dd notes).
-    use_dd = (bool(dd_ops) if dd_ops is not None
-              else (jax.default_backend() == "tpu"
-                    and dtype == jnp.float64))
-    if use_dd:
-        Ghi, Glo = split_f64(G)
-
-        def _Gx(x):                      # einsum('kmn,n->km')
-            return _dd_mv(Ghi, Glo, x)
-
-        def _GTy(y):                     # einsum('kmn,km->n')
-            return jnp.sum(_dd_aty(Ghi, Glo, y), axis=0)
-
-        def _qk_of(wt):                  # einsum('kmn,km->kn')
-            return _dd_aty(Ghi, Glo, wt)
-        if has_P:
-            Phi, Plo = split_f64(P)
-
-            def _Px(x):
-                return _dd_mv(Phi, Plo, x)
-        else:
-            def _Px(x):
-                return P @ x
-    else:
-        def _Gx(x):
-            return jnp.einsum("kmn,n->km", G, x, precision=_HIGHEST)
-
-        def _GTy(y):
-            return jnp.einsum("kmn,km->n", G, y, precision=_HIGHEST)
-
-        def _qk_of(wt):
-            return jnp.einsum("kmn,km->kn", G, wt, precision=_HIGHEST)
-
-        def _Px(x):
-            return P @ x
 
     # ---- direction-solve backend (static) --------------------------------
     # On TPU the XLA block elimination's per-iteration cost is ~18
@@ -264,15 +217,7 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
     # the per-iteration W⁻² assembly is rank-1 updates around it)
     jsign = jnp.concatenate([jnp.ones((1,), dtype),
                              -jnp.ones((M1 - 1,), dtype)])
-    # Two-operand form: the 3-operand einsum (scalar vector folded into
-    # the contraction) lowers to an elementwise-EMULATED f64 path on
-    # TPU and alone cost 1.96 s at n=1000 (round5e); folding jsign into
-    # G first leaves a plain batched f64 matmul (the ~6-pass split-word
-    # lowering — tens of ms).
-    JG = jnp.einsum("kmn,kmo->kno", jsign[None, :, None] * G, G,
-                    precision=_HIGHEST)
-    if use_dd:
-        JGhi, JGlo = split_f64(JG)
+    JG = jnp.einsum("m,kmn,kmo->kno", jsign, G, G, precision=_HIGHEST)
 
     gap_tol = jnp.asarray(cfg.epsilon, dtype)
     feas_tol = jnp.maximum(1e-9, jnp.minimum(1e-6, gap_tol))
@@ -291,7 +236,7 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
 
     # --- initialization ---------------------------------------------------
     x0 = x0.astype(dtype)
-    u0 = _Gx(x0) + h
+    u0 = jnp.einsum("kmn,n->km", G, x0, precision=_HIGHEST) + h
     lam_min = u0[:, 0] - jnp.linalg.norm(u0[:, 1:], axis=-1)
     shift = jnp.maximum(0.0, 0.1 * h_scale - lam_min)
     s0 = u0 + shift[:, None] * e
@@ -333,12 +278,13 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
     def body(st):
         (x, y, s, z, su, lu, sl, ll, it, *_) = st
         # residuals
-        rd = q - _GTy(z) + lu * fub - ll * flb
+        rd = q - jnp.einsum("kmn,km->n", G, z, precision=_HIGHEST) \
+            + lu * fub - ll * flb
         if has_P:
-            rd = rd + _Px(x)
+            rd = rd + P @ x
         if has_eq:
             rd = rd + F.T @ y
-        rp = _Gx(x) + h - s
+        rp = jnp.einsum("kmn,n->km", G, x, precision=_HIGHEST) + h - s
         rpu = (x + su - ubf) * fub
         rpl = (-x + sl + lbf) * flb
         rpe = (F @ x - g) if has_eq else jnp.zeros(0, dtype)
@@ -351,28 +297,11 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
 
         # H = P + Σ (1/η)(2 q_k q_kᵀ − GᵀJG_k) + bound diag
         wt = _jreflect(w)                     # w⁻¹ (det w = 1)
-        qk = _qk_of(wt)
-        if use_dd:
-            # dd assembly: elementwise split products + compensated
-            # K-reduction — no emulated-f64 contraction on the TPU path
-            from .dd import _dd_reduce_any
-            qeh, qel = split_f64(qk / eta1[:, None])
-            qkh, qkl = split_f64(qk)
-            ph_, pl_ = dd_mul(qeh[:, :, None], qel[:, :, None],
-                              qkh[:, None, :], qkl[:, None, :])
-            gh_, gl_ = _dd_reduce_any(ph_, pl_, axis=0)
-            ieh, iel = split_f64(1.0 / eta1)
-            jh_, jl_ = dd_mul(JGhi, JGlo, ieh[:, None, None],
-                              iel[:, None, None])
-            sh_, sl_ = _dd_reduce_any(jh_, jl_, axis=0)
-            Hh, Hl = dd_add(2.0 * gh_[0], 2.0 * gl_[0],
-                            -sh_[0], -sl_[0])
-            H = join_f64(Hh, Hl)
-        else:
-            H = (2.0 * jnp.einsum("kn,ko->no", qk / eta1[:, None], qk,
-                                  precision=_HIGHEST)
-                 - jnp.einsum("k,kno->no", 1.0 / eta1, JG,
-                              precision=_HIGHEST))
+        qk = jnp.einsum("kmn,km->kn", G, wt, precision=_HIGHEST)
+        H = (2.0 * jnp.einsum("kn,ko->no", qk / eta1[:, None], qk,
+                              precision=_HIGHEST)
+             - jnp.einsum("k,kno->no", 1.0 / eta1, JG,
+                          precision=_HIGHEST))
         db = fub * lu / su + flb * ll / sl
         H = H + jnp.diag(db)
         if has_P:
@@ -411,9 +340,12 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
         def h_op(dx):
             """Matrix-free H·dx (exactly the assembled H's action, in
             f64) for the true-residual refinement rounds."""
-            out = _GTy(winv2(_Gx(dx))) + db * dx
+            out = jnp.einsum(
+                "kmn,km->n", G,
+                winv2(jnp.einsum("kmn,n->km", G, dx, precision=_HIGHEST)),
+                precision=_HIGHEST) + db * dx
             if has_P:
-                out = out + _Px(dx)
+                out = out + P @ dx
             return out
 
         def direction(dcomp, rcu, rcl):
@@ -421,7 +353,7 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
             (K, 1+M), linear rcu/rcl (n,)."""
             t = -_arrow_solve(lam, dcomp)
             zc = w_inv_mul(uw, eta, t) - winv2(rp)
-            r1 = (-rd + _GTy(zc)
+            r1 = (-rd + jnp.einsum("kmn,km->n", G, zc, precision=_HIGHEST)
                   + fub * (rcu - lu * rpu) / su
                   - flb * (rcl - ll * rpl) / sl)
             if use_kkt:
@@ -493,7 +425,7 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
                         dx = dx + solve_h(r1 - h_op(dx))
                 else:
                     dx = solve_h_acc(r1)
-            ds = _Gx(dx) + rp
+            ds = jnp.einsum("kmn,n->km", G, dx, precision=_HIGHEST) + rp
             dz = w_inv_mul(uw, eta, t) - winv2(ds)
             dsu = (-rpu - dx) * fub
             dlu = jnp.where(fub > 0, (-rcu - lu * dsu) / su, 0.0)
@@ -545,12 +477,13 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
         sl2 = jnp.where(flb > 0, sl + ap * dsl, 1.0)
         ll2 = ll + ad * dll
 
-        rd2 = q - _GTy(z2) + lu2 * fub - ll2 * flb
+        rd2 = q - jnp.einsum("kmn,km->n", G, z2, precision=_HIGHEST) \
+            + lu2 * fub - ll2 * flb
         if has_P:
-            rd2 = rd2 + _Px(x2)
+            rd2 = rd2 + P @ x2
         if has_eq:
             rd2 = rd2 + F.T @ y2
-        rp2 = _Gx(x2) + h - s2
+        rp2 = jnp.einsum("kmn,n->km", G, x2, precision=_HIGHEST) + h - s2
         rpu2 = (x2 + su2 - ubf) * fub
         rpl2 = (-x2 + sl2 + lbf) * flb
         gap2 = gap_of(s2, z2, su2, lu2, sl2, ll2)
@@ -583,9 +516,10 @@ def socp_pd_solve(G, h, q, x0, cfg, *, P=None, F=None, g=None,
                 & (rdn < feas_tol_d * q_scale))
         return (it < max_iters) & ~done & ~stalled & jnp.isfinite(gap)
 
-    rd0 = q - _GTy(z0) + lu0 * fub - ll0 * flb
+    rd0 = q - jnp.einsum("kmn,km->n", G, z0, precision=_HIGHEST) \
+        + lu0 * fub - ll0 * flb
     if has_P:
-        rd0 = rd0 + _Px(x0)
+        rd0 = rd0 + P @ x0
     rp0 = u0 - s0
     rpn0 = jnp.max(jnp.abs(rp0))
     rpn0 = jnp.maximum(rpn0, jnp.max(jnp.abs((x0 + su0 - ubf) * fub)))

@@ -223,33 +223,3 @@ def test_socp_pd_tpu_numerics_on_cpu(m_eq, quad):
     assert obj(np.asarray(res_cpu.x)) == pytest.approx(val, rel=1e-7,
                                                        abs=1e-7)
 
-
-def test_socp_pd_dd_contraction_parity():
-    """The double-float contraction path (round 5: socp_pd's hot
-    per-iteration einsums — H assembly, residuals, direction products —
-    run as split-f32 VPU/MXU work on TPU, ~4e-15 relative) must follow
-    the SAME trajectory as the f64 einsum path: identical iteration
-    count and iterate agreement at dd grade."""
-    import jax.numpy as jnp
-    from interiorpoint_tpu.models.problem import make_socp
-    from interiorpoint_tpu.models.reduced import reduce_socp
-    from interiorpoint_tpu.ops.socp_pd import cone_operator, \
-        socp_pd_solve
-    from interiorpoint_tpu.utils.config import SolverConfig
-    from interiorpoint_tpu.utils.generators import generate_socp
-
-    np.random.seed(1)
-    p = generate_socp(120, k=10)
-    x0 = p.pop("x0")
-    prob = make_socp(p["A"], p["b"], p["c"], p["d"], p["P"], p["q"],
-                     p["F"], p["g"], None, None, dtype=jnp.float64)
-    rf = reduce_socp(prob)
-    G, h, qv = cone_operator(rf.prob)
-    z0 = rf.basis.N.T @ (jnp.asarray(x0) - rf.basis.x_p)
-    cfg = SolverConfig(dtype="float64", epsilon=1e-6)
-    r64 = socp_pd_solve(G, h, qv, z0, cfg, P=rf.prob.P, dd_ops=False)
-    rdd = socp_pd_solve(G, h, qv, z0, cfg, P=rf.prob.P, dd_ops=True)
-    assert bool(r64.converged) and bool(rdd.converged)
-    assert int(r64.iters) == int(rdd.iters)
-    scale = 1.0 + float(jnp.max(jnp.abs(r64.x)))
-    assert float(jnp.max(jnp.abs(r64.x - rdd.x))) < 1e-9 * scale
