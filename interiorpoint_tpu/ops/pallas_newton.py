@@ -331,6 +331,173 @@ def _equilibrate(H32, r: int, rp: int):
     return Hs, dsc_r, eye
 
 
+def _ns_tile_inv(D, iters: int = 40, tol2: float = 1e-6):
+    """NS inverse of an SPD (BLK, BLK) tile: X ≈ D⁻¹ by spectrally
+    rescaled Newton-Schulz (X₀ = I/λmax via 3 power iterations, then
+    X ← X + X(I − DX); the residual squares each iteration).  Pure MXU
+    matmuls — no 128-pivot scalar chain.  A local Jacobi pre-scale
+    bounds the tile condition the iteration must traverse.  Non-PSD /
+    non-converged tiles surface as NaN/Inf or a large residual; the
+    caller's jitter ladder checks finiteness downstream."""
+    dt = D.dtype
+    rows = lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+    eye = jnp.where(rows == cols, jnp.ones((), dt), jnp.zeros((), dt))
+    dg = jnp.sum(D * eye, axis=1, keepdims=True)          # (BLK, 1)
+    dsc = lax.rsqrt(jnp.maximum(dg, 1e-30))
+    dsc_r = jnp.sum(dsc * eye, axis=0, keepdims=True)     # (1, BLK)
+    Ds = D * dsc * dsc_r
+
+    u = jnp.full((BLK, 1), 1.0 / float(BLK) ** 0.5, dt)
+
+    def pw(_, c):
+        u, _ = c
+        v = _dot(Ds, u)
+        nrm = jnp.sqrt(jnp.sum(v * v))
+        return v / jnp.maximum(nrm, 1e-30), nrm
+
+    _, lam = lax.fori_loop(0, 3, pw, (u, jnp.ones((), dt)))
+    X = eye * (1.0 / jnp.maximum(lam, 1e-30))
+    R = eye - _dot(X, Ds)
+
+    def cond(c):
+        i, X, R = c
+        f2 = jnp.sum(R * R)
+        return (i < iters) & (f2 > tol2) & (f2 < 1e10) & jnp.isfinite(f2)
+
+    def body(c):
+        i, X, R = c
+        # symmetric-by-construction update X ← 2X − X·Ds·X: the
+        # additive form X + X·R loses symmetry to f32 rounding and
+        # DIVERGES once the slow (e≈1) modes amplify the drift
+        # (measured: explodes at iteration ~8 on a κ=7e3 tile; this
+        # form reaches 5e-7 in 16 iterations on the same tile)
+        X = 2.0 * X - _dot(_dot(X, Ds), X)
+        return i + 1, X, eye - _dot(X, Ds)
+
+    _, X, R = lax.while_loop(cond, body,
+                             (jnp.zeros((), jnp.int32), X, R))
+    # poison the output if the iteration never reached preconditioner
+    # grade, so the jitter ladder retries instead of silently shipping
+    # a useless tile inverse
+    # accept to ||R||_F ≤ 0.01 — factor-grade (matches _NS_GATE2, see
+    # its comment); tiles the f32 NS floor (~κ·eps32) keeps above that
+    # poison the factor with NaN and _factor_hybrid falls back to the
+    # blocked Cholesky, which holds to κ ~ 1e7 before its own ladder
+    f2 = jnp.sum(R * R)
+    bad = (f2 > 1e-4) | ~jnp.isfinite(f2)
+    X = jnp.where(bad, jnp.full_like(X, jnp.nan), X)
+    # undo the local Jacobi pre-scale: D⁻¹ = S·(SDS)⁻¹·S
+    return dsc * X * dsc_r
+
+
+def _factor_hybrid(l_ref, dinv_ref, Hs, eye, nb: int):
+    """LDL-NS factor with an in-kernel Cholesky fallback.
+
+    Try the block-LDL/Newton-Schulz factor (fast: no pivot chains) at
+    jitter rungs 0 and 1e-6.  If its tile inverses cannot reach
+    preconditioner grade — deep-barrier tiles floor at ‖R‖_F ~ κ·eps32,
+    and a marginal (~0.3-grade) preconditioner under the 3-round
+    refinement cap trips the 48-round dd-PCG escalation on EVERY step
+    (measured: lp n=1000 solve 0.053 → 0.175 s, round5g) — fall back to
+    the original blocked Cholesky + triangular inverse, which holds to
+    κ ~ 1e7 before its own jitter ladder.  Returns use_w (f32 0/1):
+    1 → l_ref holds W = L⁻¹ (use _w_solve), 0 → l_ref/dinv_ref hold the
+    LDL blocks (use _ldl_solve)."""
+    def fac_cond(c):
+        i, bad = c
+        return bad & (i < 2)
+
+    def fac_body(c):
+        it, _ = c
+        delta = jnp.where(it == 0, 0.0, 1e-6).astype(jnp.float32)
+        l_ref[:] = Hs + delta * eye
+        _ldl_ns_stages(l_ref, dinv_ref, nb)
+        ok = jnp.isfinite(jnp.sum(dinv_ref[:])) \
+            & jnp.isfinite(jnp.sum(l_ref[:]))
+        return it + 1, ~ok
+
+    _, bad = lax.while_loop(fac_cond, fac_body,
+                            (jnp.zeros((), jnp.int32),
+                             jnp.ones((), bool)))
+
+    @pl.when(bad)
+    def _():
+        _factor_jittered(l_ref, dinv_ref, Hs, eye, nb)
+        _chol_invert_ref(l_ref, dinv_ref, nb)   # l_ref := W = L^-1
+
+    return bad.astype(jnp.float32)
+
+
+def _hybrid_solve(use_w, l_ref, dinv_ref, rhs, nb: int):
+    """Preconditioner application for _factor_hybrid's two layouts."""
+    return lax.cond(
+        use_w > 0.0,
+        lambda r: _w_solve(l_ref, r),
+        lambda r: _ldl_solve(l_ref, dinv_ref, r, nb),
+        rhs)
+
+
+def _ldl_ns_stages(l_ref, dinv_ref, nb: int):
+    """One block-LDL/NS factorization pass over the preloaded l_ref —
+    the round-5 replacement for the blocked Cholesky + triangular
+    inverse inside the LP/QP step kernels (their sequential
+    diagonal-tile pivot chains were 71 us/block = the measured per-step
+    floor; this form's only per-tile sequential work is the ~log2(κ)
+    Newton-Schulz matmuls of _ns_tile_inv).
+
+    Hs ≈ L̃ D L̃ᵀ with L̃ unit-block-lower: stage k inverts the (updated)
+    diagonal tile D_k (→ dinv_ref rows), then for i > k updates the
+    trailing row A_ij −= (A_ik X_k) A_jkᵀ (i processed DESCENDING so
+    every A_jk read is still the raw panel) and overwrites the panel
+    with L̃_ik = A_ik X_k.  The D X D ≈ D substitution in the trailing
+    term adds O(‖R_NS‖) relative error — preconditioner-grade by the
+    _ns_tile_inv gate, corrected exactly by the dd refinement like
+    every other factor-path rounding.  All loops are static Python
+    (nb ≤ 12): every slice is static and every op is an MXU matmul.
+    A failed tile (non-PSD or NS floor above the gate) propagates NaN;
+    _factor_hybrid checks and falls back."""
+    for k in range(nb):
+        k0 = k * BLK
+        Xk = _ns_tile_inv(l_ref[k0:k0 + BLK, k0:k0 + BLK])
+        dinv_ref[k0:k0 + BLK, :] = Xk
+        for i in range(nb - 1, k, -1):
+            i0 = i * BLK
+            Bi = _dot(l_ref[i0:i0 + BLK, k0:k0 + BLK], Xk)
+            for j in range(k + 1, i + 1):
+                j0 = j * BLK
+                l_ref[i0:i0 + BLK, j0:j0 + BLK] = (
+                    l_ref[i0:i0 + BLK, j0:j0 + BLK]
+                    - _dot_nt(Bi, l_ref[j0:j0 + BLK, k0:k0 + BLK]))
+            l_ref[i0:i0 + BLK, k0:k0 + BLK] = Bi
+
+
+def _ldl_solve(l_ref, dinv_ref, rhs, nb: int):
+    """(m, rp) row-solve against the _ldl_ns_factor: s = rhs · M⁻¹ with
+    M = L̃ D L̃ᵀ, i.e. t = rhs·L̃⁻ᵀ (forward), u = t·D⁻¹ (tile dots),
+    s = u·L̃⁻¹ (backward) — 2·nb(nb−1)/2 + nb small MXU dots, all
+    static slices, no transposes materialized."""
+    ts = []
+    for k in range(nb):
+        k0 = k * BLK
+        acc = rhs[:, k0:k0 + BLK]
+        for j in range(k):
+            j0 = j * BLK
+            acc = acc - _dot_nt(ts[j], l_ref[k0:k0 + BLK, j0:j0 + BLK])
+        ts.append(acc)
+    us = [_dot(ts[k], dinv_ref[k * BLK:(k + 1) * BLK, :])
+          for k in range(nb)]
+    ss = [None] * nb
+    for k in range(nb - 1, -1, -1):
+        k0 = k * BLK
+        acc = us[k]
+        for j in range(k + 1, nb):
+            j0 = j * BLK
+            acc = acc - _dot(ss[j], l_ref[j0:j0 + BLK, k0:k0 + BLK])
+        ss[k] = acc
+    return jnp.concatenate(ss, axis=1)
+
+
 def _factor_jittered(l_ref, dinv_ref, Hs, eye, nb: int):
     """f32 blocked factor with jitter-retry ladder; jitter only degrades
     the preconditioner, never the answer (refinement corrects exactly).
@@ -392,7 +559,15 @@ def dir_stall_tol(epsilon: float, floor: float = 1e-6,
 # only ever shapes preconditioner quality — never the answer.
 # ---------------------------------------------------------------------------
 _NS_ITERS = 12            # cap; typical hits converge in ~5 (measured)
-_NS_GATE2 = 1e-4          # ||I - Hs X||_F^2 acceptance gate (0.01^2)
+# ||I - Hs X||_F^2 acceptance gate (0.01^2).  Consistency matters in
+# both directions (measured, round5g/h): a LOOSER gate (0.1) accepts
+# low-grade carries whose extra refinement rounds cost more than the
+# factor they skip, and a factor whose tiles are below this grade
+# produces re-seeds the trial can never polish past the gate (the QP
+# chain's hit rate collapsed to 3%).  So the tile-accept gate in
+# _ns_tile_inv and this carry gate are BOTH 0.01-Frobenius, and
+# anything worse falls back to the blocked Cholesky.
+_NS_GATE2 = 1e-4
 _NS_MAX_RP = 512          # carry envelope: beyond this the WtW re-seed
                           # matmul (rp^3) starts rivaling the factor
 
@@ -454,11 +629,10 @@ def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
         H32 = H32 + tPhi
     Hs, dsc_r, eye = _equilibrate(H32, r, rp)
     if minv_ref is None:
-        _factor_jittered(l_ref, dinv_ref, Hs, eye, nb)
-        _chol_invert_ref(l_ref, dinv_ref, nb)  # l_ref now holds W = L^-1
+        use_w = _factor_hybrid(l_ref, dinv_ref, Hs, eye, nb)
 
         def _precond_solve(rhs_row):
-            return _w_solve(l_ref, rhs_row)
+            return _hybrid_solve(use_w, l_ref, dinv_ref, rhs_row, nb)
         ns_hit = jnp.zeros((), jnp.float32)
     else:
         # Minv-carry fast path (see the _NS_ITERS comment above).
@@ -490,7 +664,10 @@ def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
 
             def it(c):
                 i, Xc, Rc = c
-                Xc = Xc + _dot(Xc, Rc)
+                # symmetric-by-construction form (see _ns_tile_inv):
+                # the additive X + X·R variant diverges from f32
+                # asymmetry drift when modes sit near e ≈ 1
+                Xc = 2.0 * Xc - _dot(_dot(Xc, Hs), Xc)
                 return i + 1, Xc, eye - _dot(Hs, Xc)
 
             _, X, R = lax.while_loop(
@@ -509,10 +686,10 @@ def _direction_core(foreach_c, dhi_ref, dlo_ref, tchi, tclo,
 
         @pl.when(~ns_ok)
         def _():
-            _factor_jittered(l_ref, dinv_ref, Hs, eye, nb)
-            _chol_invert_ref(l_ref, dinv_ref, nb)
-            W = l_ref[:]
-            minvout_ref[:] = _dot_tn(W, W)     # Hs^-1 = W^T W
+            use_w = _factor_hybrid(l_ref, dinv_ref, Hs, eye, nb)
+            # explicit Hs^-1 re-seed: the factor solve applied to I
+            minvout_ref[:] = _hybrid_solve(use_w, l_ref, dinv_ref,
+                                           eye, nb)
 
         def _precond_solve(rhs_row):
             # Minv symmetric: row @ Minv == (Minv @ row^T)^T
