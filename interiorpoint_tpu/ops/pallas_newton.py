@@ -371,7 +371,11 @@ def _ns_tile_inv(D, iters: int = 40, tol2: float = 1e-6):
         # additive form X + X·R loses symmetry to f32 rounding and
         # DIVERGES once the slow (e≈1) modes amplify the drift
         # (measured: explodes at iteration ~8 on a κ=7e3 tile; this
-        # form reaches 5e-7 in 16 iterations on the same tile)
+        # form reaches 5e-7 in 16 iterations on the same tile).
+        # (No f2-progress stall exit: the early NS phase on a κ=1e4
+        # tile contracts f2 by only ~2e-4/iteration — ratio-based
+        # stall detection cannot distinguish it from the f32 floor,
+        # so the iteration cap is the exit mechanism.)
         X = 2.0 * X - _dot(_dot(X, Ds), X)
         return i + 1, X, eye - _dot(X, Ds)
 
