@@ -44,6 +44,13 @@ from .pallas_newton import (_dd_recip, _phi_stable, _refined_solve,
                             ReducedConsts, _pad, _pad2)
 
 _HI = jax.lax.Precision.HIGHEST
+# 3-pass f32 (bf16x3) for the PRECONDITIONER Gram only: H32 feeds the
+# equilibrate -> f32 factor -> W chain, whose output the dd refinement
+# corrects against the true operator regardless, so its ~1e-6 relative
+# assembly error is invisible next to the factor's own kappa*eps32 —
+# and the 6-pass HIGHEST Gram is the dominant throughput cost of the
+# XL step (round5l probe).  Residuals/gradients stay dd/HIGHEST.
+_HI3 = jax.lax.Precision.HIGH
 
 
 def _equilibrate_xla(H32, r: int, rp: int):
@@ -136,7 +143,7 @@ def reduced_newton_step_xla(consts: ReducedConsts, tc, z, tP, sigmas, *,
         gh, gl = dd.dd_add(gh, gl, pzh, pzl)
 
     # ---- f32 Gram + factor (preconditioner only) ----------------------
-    H32 = jnp.dot((Chi * wh).T, Chi, precision=_HI,
+    H32 = jnp.dot((Chi * wh).T, Chi, precision=_HI3,
                   preferred_element_type=jnp.float32)
     if has_P:
         H32 = H32 + tPhi
@@ -288,7 +295,7 @@ def socp_newton_step_xla(consts: SOCPConsts, tq, z, tP, sigmas, *,
            - rhsh * chi_m)                                 # (K, rp)
     w32 = wh
     Gw32 = w32 * G32
-    H32 = (jnp.dot((A32 * wrow_h).T, A32, precision=_HI,
+    H32 = (jnp.dot((A32 * wrow_h).T, A32, precision=_HI3,
                    preferred_element_type=jnp.float32)
            + jnp.dot((chi_m * w32).T, chi_m, precision=_HI,
                      preferred_element_type=jnp.float32)
