@@ -708,9 +708,9 @@ def main():
         # lp1000_auto: the routed production surface (algorithm="auto";
         # LP routes to the Mehrotra engine — round-4 VERDICT weak #7:
         # the record must measure what the marketed routing delivers,
-        # not only the barrier parity surface).  qp/socp auto routes to
-        # barrier = the main rows above, so lp is the only distinct
-        # auto measurement at n=1000.
+        # not only the barrier parity surface).  QP auto ALSO routes to
+        # pd since round 5n (its surface is the qp1000_pd row below);
+        # SOCP auto resolves to barrier = the main row.
         extra_rows = [("lp1000_auto", bench_lp, 1000, 2, "lp", "auto"),
                       ("qp1000_pd", bench_qp, 1000, 2, "qp", "pd"),
                       ("socp1000_pd", bench_socp, 1000, 2, "socp", "pd"),

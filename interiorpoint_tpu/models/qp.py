@@ -110,12 +110,17 @@ class QPSolver(BarrierDriver):
             self._setup_reduced(reduce_qp, _qp_oracle, _p1)
 
     def _auto_algorithm(self) -> str:
-        """Measured on v5e (round-4 RTT-adjusted): the barrier wins
-        every QP benchmark shape at the reference ε=1e-8 — n=1000:
-        0.054 vs 0.105 s; n=5000: 0.92 vs 1.24 s (the round-4d log;
-        the lean factor + one-fetch driver flipped the n=5000 ordering
-        that round 3 measured)."""
-        return "barrier"
+        """Measured on v5e (round-5n, RTT-adjusted, raw recorded): the
+        Mehrotra engine now wins every QP benchmark shape at the
+        reference ε=1e-8 — n=1000: 0.018 vs 0.054 s; n=5000: 0.18 vs
+        0.95 s, objectives agreeing to 1e-14
+        (benchmarks/results/round5n_raw.log).  Round 4 measured the
+        OPPOSITE ordering (pd 0.105/1.24 s); the round-5 driver work
+        (single-fetch results, jitted objective evaluation) plus the
+        factor-path improvements moved pd past the barrier.  Routing
+        follows the latest measurement, as it did when round 4 flipped
+        it the other way."""
+        return "pd" if self._pd_applicable() else "barrier"
 
     def _check_x0(self, x):
         prob = self._prob
@@ -151,7 +156,7 @@ def solve_qp(P, q=None, A=None, b=None, C=None, d=None, lb=None, ub=None,
         x0 = synthesize_x0(lb_vec, ub_vec, n)
     if algorithm == "auto":
         # measured-fastest QP engine (QPSolver._auto_algorithm)
-        algorithm = "barrier"
+        algorithm = "pd"
     if algorithm == "pd":
         from ..ops.pd import pd_solve
         from .reduced import full_space_pd_problem

@@ -45,7 +45,7 @@ def test_qp_auto_routes_by_size():
                  d=C @ xf + 0.5, lower_bound=-3, upper_bound=3,
                  suppress_print=True, check_cvxpy=False, epsilon=1e-8,
                  t0=0.01, algorithm="auto")
-    assert q._auto_algorithm() == "barrier"
+    assert q._auto_algorithm() == "pd"
     q.solve()
     assert q.optimal
 
