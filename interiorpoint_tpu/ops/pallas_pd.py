@@ -171,6 +171,12 @@ def _pd_step_core(foreach_c, dhi_ref, dlo_ref, qhi, qlo, zhi, zlo,
     if has_P:
         H32 = H32 + tPhi
     Hs, dsc_r, eye = _equilibrate(H32, r, rp)
+    # NOT the round-5 LDL/NS hybrid: measured on hardware
+    # (round5o_raw.log) the Mehrotra iteration REGRESSED with it
+    # (qp1000_pd 0.018 -> 0.082 s, lp1000_pd 0.019 -> 0.053 s) — the
+    # pd engine's tight direction grade pays more in extra
+    # refinement/iterations under LDL-grade tiles than the factor
+    # saves.  The blocked Cholesky + triangular inverse stays.
     _factor_jittered(l_ref, dinv_ref, Hs, eye, nb)
     _chol_invert_ref(l_ref, dinv_ref, nb)   # l_ref now holds W = L^-1
 
